@@ -1,0 +1,201 @@
+"""BlockingEngine facade: algorithm dispatch + blocking-quality statistics.
+
+Re-design of the reference BlockingEngine (include/blocking.h:9-56,
+blocking.cpp:576-717): same knobs, same stats names (the CSV schema keys on
+them), with a pluggable backend — the vectorized numpy implementation here,
+or the native C++ engine (sparta_tpu/csrc) when built.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+
+from ..definitions import BlockingType, SimMeasure
+from ..formats.csr import CSR
+from ..utils import get_fixed_size_grouping, get_partition, get_permutation
+from .algos import (
+    BlockingStats,
+    fixed_blocking,
+    greedy_blocking,
+    scramble_blocking,
+    structured_blocking,
+)
+from .signatures import block_signatures
+
+
+@dataclasses.dataclass
+class BlockingEngine:
+    tau: float = 0.1
+    col_block_size: int = 3
+    row_block_size: int = 3
+    blocking_algo: BlockingType = BlockingType.iterative_clocked
+    sim_measure: SimMeasure = SimMeasure.jaccard
+    use_groups: bool = False
+    use_pattern: bool = True
+    force_fixed_size: bool = False
+    structured_m: int = 2
+    structured_n: int = 4
+    backend: str = "auto"  # auto | native | numpy
+
+    # results / instrumentation (populated by get_grouping / collect_blocking_info)
+    grouping_result: np.ndarray | None = None
+    comparison_counter: int = 0
+    merge_counter: int = 0
+    timer_total: float = 0.0        # microseconds, schema parity
+    timer_comparisons: float = 0.0
+    timer_merges: float = 0.0
+    average_merge_tau: float = float("nan")
+    average_row_distance: float = float("nan")
+    VBR_nzcount: int = 0
+    VBR_nzblocks_count: int = 0
+    VBR_average_height: float = 0.0
+    VBR_longest_row: int = 0
+    multiplication_timer_avg: float = 0.0
+    multiplication_timer_std: float = 0.0
+
+    @classmethod
+    def from_config(cls, cfg) -> "BlockingEngine":
+        """Build from a Config (cli.py), mirroring BlockingEngine(CLineReader&)."""
+        return cls(
+            tau=cfg.tau,
+            col_block_size=cfg.col_block_size,
+            row_block_size=cfg.row_block_size,
+            blocking_algo=BlockingType(cfg.blocking_algo),
+            sim_measure=SimMeasure(cfg.sim_measure),
+            use_groups=cfg.sim_use_groups,
+            use_pattern=cfg.sim_use_pattern,
+            force_fixed_size=cfg.force_fixed_size,
+        )
+
+    # ------------------------------------------------------------------
+    def get_grouping(self, cmat: CSR) -> np.ndarray:
+        """Dispatch on blocking_algo (reference GetGrouping, blocking.cpp:633-676)."""
+        stats = BlockingStats()
+        algo = BlockingType(self.blocking_algo)
+        t0 = time.perf_counter()
+
+        native = self._native_backend()
+        if native is not None and algo in (
+            BlockingType.iterative,
+            BlockingType.iterative_clocked,
+            BlockingType.iterative_queue,
+            BlockingType.iterative_max_size,
+        ):
+            grouping = native.greedy_blocking(
+                cmat,
+                tau=self.tau,
+                measure=int(self.sim_measure),
+                col_block_size=self.col_block_size,
+                use_groups=self.use_groups,
+                use_pattern=self.use_pattern,
+                strict_less=algo == BlockingType.iterative,
+                prune=algo != BlockingType.iterative,
+                max_size=self.row_block_size
+                if algo == BlockingType.iterative_max_size
+                else 0,
+                keeper=algo == BlockingType.iterative_max_size,
+                stats=stats,
+            )
+        elif algo in (BlockingType.iterative, BlockingType.iterative_clocked,
+                      BlockingType.iterative_queue):
+            grouping = greedy_blocking(
+                cmat, self.tau, self.sim_measure, self.col_block_size,
+                use_groups=self.use_groups, use_pattern=self.use_pattern,
+                strict_less=algo == BlockingType.iterative,
+                prune=algo != BlockingType.iterative,
+                stats=stats,
+            )
+        elif algo == BlockingType.iterative_max_size:
+            grouping = greedy_blocking(
+                cmat, self.tau, self.sim_measure, self.col_block_size,
+                use_groups=self.use_groups, use_pattern=self.use_pattern,
+                strict_less=False, prune=True,
+                max_size=self.row_block_size, keeper=True,
+                stats=stats,
+            )
+        elif algo == BlockingType.iterative_structured:
+            grouping = structured_blocking(
+                cmat, self.tau, self.sim_measure, self.col_block_size,
+                use_groups=self.use_groups, use_pattern=self.use_pattern,
+                structured_m=self.structured_m, structured_n=self.structured_n,
+                stats=stats,
+            )
+        elif algo == BlockingType.fixed_size:
+            grouping = fixed_blocking(cmat.rows, self.row_block_size)
+        elif algo == BlockingType.scramble:
+            grouping = scramble_blocking(cmat.rows)
+        else:
+            raise ValueError(f"unknown blocking algo {algo}")
+
+        if self.force_fixed_size and algo != BlockingType.fixed_size:
+            grouping = get_fixed_size_grouping(grouping, self.row_block_size)
+
+        self.timer_total = (time.perf_counter() - t0) * 1e6
+        self.timer_comparisons = self.timer_total  # single fused phase
+        self.timer_merges = 0.0
+        self.comparison_counter = stats.comparison_counter
+        self.merge_counter = stats.merge_counter
+        self.average_merge_tau = stats.average_merge_tau
+        self.average_row_distance = stats.average_row_distance
+        self.grouping_result = grouping
+        return grouping
+
+    def _native_backend(self):
+        if self.backend == "numpy":
+            return None
+        try:
+            from . import native
+
+            if native.available():
+                return native
+        except ImportError:
+            pass
+        if self.backend == "native":
+            raise RuntimeError("native blocking backend requested but not built")
+        return None
+
+    # ------------------------------------------------------------------
+    def collect_blocking_info(self, cmat: CSR) -> dict:
+        """Blocking stats straight from CSR + grouping, without materializing
+        the VBR (reference CollectBlockingInfo, blocking.cpp:576-631).
+
+        Vectorized: per-block-row OR of packed row signatures; popcounts give
+        nonzero-block counts per block-row in one pass.
+        """
+        if self.grouping_result is None:
+            raise RuntimeError("run get_grouping first")
+        grouping = self.grouping_result
+        bw = self.col_block_size
+        part = get_partition(grouping)
+        perm = get_permutation(grouping)
+        sigs = block_signatures(cmat, bw)[perm]
+
+        heights = np.diff(part)
+        # OR-reduce signatures within each block-row
+        group_bits = np.bitwise_or.reduceat(sigs, part[:-1], axis=0)
+        # reduceat quirk: empty segments would echo the row — partitions have
+        # no empty segments by construction (get_partition)
+        nzb = np.bitwise_count(group_bits).sum(axis=1, dtype=np.int64)
+
+        nzblocks = int(nzb.sum())
+        nzcount = int((nzb * heights).sum()) * bw
+        # shorter trailing column block (blocking.cpp:624-627)
+        rem = cmat.cols % bw
+        if rem:
+            last_blk = (cmat.cols - 1) // bw
+            word, bit = last_blk >> 6, last_blk & 63
+            has_last = (group_bits[:, word] >> np.uint64(bit)) & np.uint64(1)
+            nzcount -= int((heights * has_last.astype(np.int64)).sum()) * (bw - rem)
+
+        self.VBR_nzcount = nzcount
+        self.VBR_nzblocks_count = nzblocks
+        self.VBR_average_height = float((nzb * heights).sum() / nzblocks) if nzblocks else 0.0
+        self.VBR_longest_row = int(nzb.max()) if nzb.size else 0
+        return {
+            "VBR_nzcount": self.VBR_nzcount,
+            "VBR_nzblocks_count": self.VBR_nzblocks_count,
+            "VBR_average_height": self.VBR_average_height,
+            "VBR_longest_row": self.VBR_longest_row,
+        }
