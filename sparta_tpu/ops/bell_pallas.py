@@ -1,0 +1,139 @@
+"""Blocked-ELL SpMM — Pallas MXU kernel (the flagship compute path).
+
+TPU-native replacement for the reference's per-block cuBLAS/CUTLASS loops
+(cuda_utilities.cpp:39-209, cutlass_bellpack_lib.cu:60-242): instead of one
+GEMM launch per nonzero block over CUDA streams, a SINGLE kernel walks each
+block-row's nonzero blocks, DMAs the matching B row-stripes HBM->VMEM with
+double buffering, and accumulates bh x TN output tiles on the MXU in fp32.
+
+Grid: (n_block_rows, N // TN).  Per step:
+  - the block-row's values [max_nb, bh, bw] are auto-pipelined into VMEM;
+  - block-column indices and true block counts ride in SMEM via scalar
+    prefetch, bounding the inner loop at the row's actual block count
+    (padding rows cost nothing);
+  - B stays in HBM (ANY); tiles are gathered by index with two-slot DMA
+    overlap, so the MXU runs while the next stripe is in flight.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .device import BellDevice
+
+
+def _kernel(
+    # scalar prefetch
+    cols_ref,     # int32 [nbr, max_nb] (SMEM)
+    nb_ref,       # int32 [nbr]        (SMEM)
+    # inputs
+    vals_ref,     # [1, max_nb, bh, bw] (VMEM, this block-row)
+    b_hbm,        # [K, N] (HBM)
+    # output
+    out_ref,      # [bh, TN] (VMEM)
+    # scratch
+    b_buf,        # [2, bw, TN] (VMEM)
+    acc_ref,      # [bh, TN] fp32 (VMEM)
+    sems,         # DMA sems (2,)
+    *,
+    bw: int,
+    tn: int,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = nb_ref[i]
+
+    def b_dma(k, slot):
+        jb = cols_ref[i, k]
+        return pltpu.make_async_copy(
+            b_hbm.at[pl.ds(jb * bw, bw), pl.ds(j * tn, tn)],
+            b_buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(nb > 0)
+    def _():
+        b_dma(0, 0).start()
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < nb)
+        def _():
+            b_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+        b_dma(k, slot).wait()
+        acc_ref[...] += jax.lax.dot(
+            vals_ref[0, k], b_buf[slot], preferred_element_type=jnp.float32
+        )
+        return 0
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    jax.lax.fori_loop(0, nb, body, 0)
+    out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tn", "out_dtype", "interpret")
+)
+def bell_spmm_pallas(
+    bell: BellDevice,
+    B: jax.Array,
+    tn: int = 512,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """C[permuted rows] = A_bell @ B on the MXU.   B: [K, N], K == nbc*bw.
+
+    N must be a multiple of ``tn`` (pad N or lower tn; the bench harness
+    picks tn automatically)."""
+    nbr, max_nb, bh, bw = bell.vals.shape
+    K, N = B.shape
+    if N % tn:
+        raise ValueError(f"N={N} not a multiple of tile {tn}")
+    out_dtype = out_dtype or B.dtype
+
+    grid = (nbr, N // tn)
+    kernel = functools.partial(_kernel, bw=bw, tn=tn)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, max_nb, bh, bw),
+                    lambda i, j, *_: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # B stays in HBM
+            ],
+            out_specs=pl.BlockSpec(
+                (bh, tn), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, bw, tn), B.dtype),
+                pltpu.VMEM((bh, tn), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nbr * max_nb * bh * bw * N,
+            bytes_accessed=(
+                bell.vals.size * bell.vals.dtype.itemsize
+                + nbr * max_nb * (N // tn) * bw * tn * B.dtype.itemsize
+                + nbr * bh * N * jnp.dtype(out_dtype).itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bell.cols_idx, bell.nb_row, bell.vals, B)

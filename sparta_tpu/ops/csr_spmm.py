@@ -1,0 +1,83 @@
+"""Unstructured CSR/COO SpMM baselines (the reference's cuSPARSE CSR path,
+cuda_utilities.cpp:1251-1431, reimagined for XLA).
+
+Two backends:
+- BCOO via jax.experimental.sparse (library baseline);
+- a padded-ELL row-gather segment-sum (our own, usually faster on TPU since
+  it avoids scalar scatter-adds).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import sparse as jsparse
+
+from ..definitions import round_up
+from ..formats.csr import CSR
+
+
+def csr_to_bcoo(cmat: CSR, dtype=jnp.float32) -> jsparse.BCOO:
+    rows = np.repeat(np.arange(cmat.rows), cmat.row_nnz)
+    idx = np.stack([rows, cmat.indices], axis=1)
+    return jsparse.BCOO(
+        (jnp.asarray(cmat.values(), dtype=dtype), jnp.asarray(idx, dtype=jnp.int32)),
+        shape=cmat.shape,
+    )
+
+
+@jax.jit
+def bcoo_spmm(A: jsparse.BCOO, B: jax.Array) -> jax.Array:
+    return A @ B
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class EllDevice:
+    """Row-wise ELL: per-row column indices padded to max row length."""
+
+    cols: jax.Array  # int32 [rows, max_nnz], 0-padded
+    vals: jax.Array  # [rows, max_nnz], 0-padded
+
+    def tree_flatten(self):
+        return (self.cols, self.vals), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @classmethod
+    def from_csr(cls, cmat: CSR, dtype=jnp.float32, pad_to: int = 8) -> "EllDevice":
+        counts = cmat.row_nnz
+        width = max(round_up(int(counts.max()) if counts.size else 0, pad_to), pad_to)
+        cols = np.zeros((cmat.rows, width), dtype=np.int32)
+        vals = np.zeros((cmat.rows, width), dtype=np.float32)
+        ord_in_row = np.arange(cmat.nnz) - np.repeat(cmat.indptr[:-1], counts)
+        r = np.repeat(np.arange(cmat.rows), counts)
+        cols[r, ord_in_row] = cmat.indices
+        vals[r, ord_in_row] = cmat.values()
+        return cls(jnp.asarray(cols), jnp.asarray(vals, dtype=dtype))
+
+
+@jax.jit
+def ell_spmm(A: EllDevice, B: jax.Array) -> jax.Array:
+    """C = A @ B via row-wise gather + weighted sum.
+
+    Zero-padding entries gather B[0] with weight 0 — harmless.  The gather
+    is [rows, max_nnz, N]; fine for moderate max row length."""
+    gathered = B[A.cols]                      # [rows, max_nnz, N]
+    return jnp.einsum(
+        "rk,rkn->rn", A.vals, gathered, preferred_element_type=jnp.float32
+    ).astype(B.dtype)
+
+
+def dense_matmul(A: jax.Array, B: jax.Array, accum_dtype=jnp.float32) -> jax.Array:
+    """Dense GEMM baseline (reference cublas_dense_multiplyAB,
+    cuda_utilities.cpp:1769-1889): densify then one MXU matmul."""
+    return jnp.dot(A, B, preferred_element_type=accum_dtype).astype(B.dtype)
+
+
+dense_matmul = jax.jit(dense_matmul, static_argnames=("accum_dtype",))

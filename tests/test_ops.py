@@ -1,0 +1,129 @@
+"""Device SpMM tests (CPU backend; Pallas in interpret mode).
+
+Oracle = host serial multiply / scipy, as in the reference's TEST_cuda
+memcmp strategy but with tolerances (fp32 accumulate).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparta_tpu.formats import bell_from_csr, random_block_csr, random_uniform_csr
+from sparta_tpu.ops import (
+    BellDevice,
+    EllDevice,
+    bcoo_spmm,
+    bell_spmm_pallas,
+    bell_spmm_xla,
+    bell_spmm_xla_ba,
+    bell_spmm_xla_unrolled,
+    csr_to_bcoo,
+    dense_matmul,
+    ell_spmm,
+    pad_b_for_bell,
+)
+from sparta_tpu.utils import get_permutation
+
+
+@pytest.fixture(scope="module")
+def problem():
+    m = random_block_csr(256, 256, block=8, block_density=0.15, intra_density=0.7, seed=3)
+    grouping = np.arange(256) // 8
+    bell = bell_from_csr(m, grouping, block_row_size=8)
+    B = np.random.default_rng(0).standard_normal((256, 64)).astype(np.float32)
+    C_ref = m.to_scipy() @ B
+    return m, bell, B, C_ref
+
+
+def test_bell_spmm_xla(problem):
+    m, bell, B, C_ref = problem
+    dev = BellDevice.from_host(bell)
+    C = bell_spmm_xla(dev, pad_b_for_bell(B, bell))
+    np.testing.assert_allclose(np.asarray(C)[: m.rows], C_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_bell_spmm_xla_unrolled(problem):
+    m, bell, B, C_ref = problem
+    dev = BellDevice.from_host(bell)
+    C = bell_spmm_xla_unrolled(dev, pad_b_for_bell(B, bell))
+    np.testing.assert_allclose(np.asarray(C)[: m.rows], C_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_bell_spmm_xla_reordered():
+    m = random_block_csr(128, 128, block=16, block_density=0.2, seed=9)
+    from sparta_tpu.definitions import BlockingType
+    from sparta_tpu.reorder import BlockingEngine
+
+    eng = BlockingEngine(tau=0.6, col_block_size=16, row_block_size=16,
+                         blocking_algo=BlockingType.iterative_max_size,
+                         force_fixed_size=True, backend="numpy")
+    g = eng.get_grouping(m)
+    bell = bell_from_csr(m, g, block_row_size=16)
+    B = np.random.default_rng(1).standard_normal((m.cols, 32)).astype(np.float32)
+    C = bell_spmm_xla(BellDevice.from_host(bell), pad_b_for_bell(B, bell))
+    C_ref = (m.to_scipy() @ B)[get_permutation(g)]
+    np.testing.assert_allclose(np.asarray(C)[: m.rows], C_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_bell_spmm_ba(problem):
+    m, bell, B, C_ref = problem
+    dev = BellDevice.from_host(bell)
+    N = 32
+    Bl = np.random.default_rng(2).standard_normal((N, bell.shape[0])).astype(np.float32)
+    C = bell_spmm_xla_ba(dev, jnp.asarray(Bl), n_block_cols=bell.n_block_cols)
+    C_ref2 = Bl[:, : m.rows] @ m.to_scipy()
+    np.testing.assert_allclose(np.asarray(C)[:, : m.cols], C_ref2, rtol=1e-4, atol=1e-4)
+
+
+def test_bell_spmm_pallas_interpret(problem):
+    m, bell, B, C_ref = problem
+    dev = BellDevice.from_host(bell)
+    C = bell_spmm_pallas(dev, pad_b_for_bell(B, bell), tn=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(C)[: m.rows], C_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_bell_spmm_pallas_multiple_col_tiles(problem):
+    m, bell, B, C_ref = problem
+    dev = BellDevice.from_host(bell)
+    C = bell_spmm_pallas(dev, pad_b_for_bell(B, bell), tn=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(C)[: m.rows], C_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_bell_spmm_pallas_empty_rows():
+    # block-rows with zero blocks must produce zero stripes
+    from sparta_tpu.formats import CSR
+
+    r = np.array([1, 3, 60, 63])
+    c = np.array([5, 40, 2, 63])
+    m = CSR.from_coo(r, c, np.ones(4, dtype=np.float32), (64, 64))
+    bell = bell_from_csr(m, None, block_row_size=8)
+    assert (bell.nb_row == 0).any()
+    B = np.random.default_rng(3).standard_normal((64, 16)).astype(np.float32)
+    C = bell_spmm_pallas(BellDevice.from_host(bell), pad_b_for_bell(B, bell),
+                         tn=16, interpret=True)
+    C_ref = m.to_scipy() @ B
+    np.testing.assert_allclose(np.asarray(C)[: m.rows], C_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_csr_baselines(problem):
+    m, bell, B, C_ref = problem
+    C1 = bcoo_spmm(csr_to_bcoo(m), jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(C1), C_ref, rtol=1e-4, atol=1e-4)
+    C2 = ell_spmm(EllDevice.from_csr(m), jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(C2), C_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_dense_baseline(problem):
+    m, bell, B, C_ref = problem
+    C = dense_matmul(jnp.asarray(m.to_dense()), jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(C), C_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_matched_accuracy(problem):
+    """bf16 storage w/ fp32 accumulate: <=1e-2 relative error vs fp32 oracle."""
+    m, bell, B, C_ref = problem
+    dev = BellDevice.from_host(bell, dtype=jnp.bfloat16)
+    C = bell_spmm_xla(dev, pad_b_for_bell(B, bell).astype(jnp.bfloat16))
+    err = np.abs(np.asarray(C, dtype=np.float32)[: m.rows] - C_ref)
+    rel = err.max() / (np.abs(C_ref).max() + 1e-9)
+    assert rel < 1e-2
