@@ -1,0 +1,243 @@
+"""Experiment runner: read -> (reorder) -> block -> SpMM -> CSV.
+
+TPU-native equivalent of the reference's main harness
+(test/cuda/cuda_multiply.cpp): one process = one experiment config, emitting
+a 2-line CSV (header + values) with the reference's exact 31-column schema
+(src/general/utilities.cpp:175-245) plus TPU-side extras appended, so the
+reference's collation/plotting layer applies unchanged.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+from ..definitions import MultiplicationAlgo, round_up
+from ..formats import bell_from_csr, read_matrix, write_grouping
+from ..formats.csr import CSR
+from ..reorder import BlockingEngine
+from ..utils import get_fixed_size_grouping
+from .timing import time_op
+
+# columns in the reference's exact order (utilities.cpp:186-231)
+REFERENCE_COLUMNS = [
+    "matrix", "rows", "cols", "nonzeros", "symmetrize",
+    "blocking_algo", "tau", "row_block_size", "col_block_size",
+    "use_pattern", "sim_use_groups", "sim_measure", "reorder", "exp_name",
+    "b_cols", "warmup", "exp_repetitions", "multiplication_algo", "n_streams",
+    "time_to_block", "time_to_merge", "time_to_compare",
+    "VBR_nzcount", "VBR_nzblocks_count", "VBR_average_height", "VBR_longest_row",
+    "merge_counter", "comparison_counter", "average_merge_tau", "average_row_distance",
+    "avg_time_multiply", "std_time_multiply",
+]
+EXTRA_COLUMNS = ["backend", "dtype", "gflops", "nnz_per_s", "effective_tflops"]
+
+BELL_ALGOS = {
+    MultiplicationAlgo.bell_xla,
+    MultiplicationAlgo.bell_pallas,
+    MultiplicationAlgo.bell_pallas_batched,
+}
+BLOCKED_ALGOS = BELL_ALGOS | {
+    MultiplicationAlgo.no_mult,
+    MultiplicationAlgo.vbr_xla,
+    MultiplicationAlgo.vbr_xla_fixed,
+    MultiplicationAlgo.vbr_xla_inverted,
+    MultiplicationAlgo.vbr_xla_batched,
+    MultiplicationAlgo.vbr_pallas,
+    MultiplicationAlgo.vbr_pallas_inverted,
+}
+
+
+def load_matrix(cfg) -> CSR:
+    m = read_matrix(
+        cfg.filename,
+        fmt=cfg.mat_fmt,
+        pattern_only=bool(cfg.pattern_only),
+        symmetrize=bool(cfg.symmetrize),
+    )
+    # pre-reorder pass (-r; reference matrices.h:70-81)
+    if cfg.reorder == 1:
+        m = m.reorder_by_degree(descending=True)
+    elif cfg.reorder == -1:
+        m = m.reorder_by_degree(descending=False)
+    elif cfg.reorder == 2:
+        m = m.scramble(seed=cfg.seed)
+    return m
+
+
+def auto_tile_n(n: int) -> int:
+    for tn in (512, 256, 128):
+        if n % tn == 0:
+            return tn
+    return n  # small n: single tile
+
+
+def make_backend(cfg, m: CSR, engine: BlockingEngine):
+    """Returns (fn(B)->C, B_shape, backend_name, flops_per_call)."""
+    import jax.numpy as jnp
+
+    from ..ops import (
+        BellDevice,
+        bcoo_spmm,
+        bell_spmm_pallas,
+        bell_spmm_xla,
+        bell_spmm_xla_ba,
+        bell_spmm_xla_unrolled,
+        csr_to_bcoo,
+        dense_matmul,
+    )
+    from ..ops.dense_pallas import dense_matmul_pallas
+
+    algo = MultiplicationAlgo(cfg.multiplication_algo)
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    N = cfg.b_cols
+
+    if algo == MultiplicationAlgo.dense_xla:
+        A = jnp.asarray(m.to_dense(), dtype=dtype)
+        return (lambda B: dense_matmul(A, B)), (m.cols, N), "dense_xla", 2 * m.rows * m.cols * N
+
+    if algo == MultiplicationAlgo.dense_pallas:
+        Mp, Kp = round_up(m.rows, 512), round_up(m.cols, 512)
+        A = np.zeros((Mp, Kp), dtype=np.float32)
+        A[: m.rows, : m.cols] = m.to_dense()
+        A = jnp.asarray(A, dtype=dtype)
+        Np = round_up(N, 512)
+        return (
+            lambda B: dense_matmul_pallas(A, B),
+            (Kp, Np),
+            "dense_pallas",
+            2 * Mp * Kp * Np,
+        )
+
+    if algo == MultiplicationAlgo.csr_spmm:
+        A = csr_to_bcoo(m, dtype=dtype)
+        return (lambda B: bcoo_spmm(A, B)), (m.cols, N), "csr_bcoo", 2 * m.nnz * N
+
+    # blocked paths need a grouping with fixed-size row blocks
+    grouping = engine.grouping_result
+    bell = bell_from_csr(
+        m,
+        None if grouping is None else get_fixed_size_grouping(grouping, cfg.row_block_size),
+        block_row_size=cfg.row_block_size,
+        block_col_size=cfg.col_block_size,
+    )
+    dev = BellDevice.from_host(bell, dtype=dtype)
+    flops = 2 * bell.total_nzblocks * bell.block_row_size * bell.block_col_size * N
+
+    if algo in (MultiplicationAlgo.bell_xla, MultiplicationAlgo.vbr_xla,
+                MultiplicationAlgo.vbr_xla_fixed, MultiplicationAlgo.vbr_pallas):
+        return (lambda B: bell_spmm_xla(dev, B)), (bell.shape[1], N), "bell_xla", flops
+
+    if algo in (MultiplicationAlgo.vbr_xla_inverted, MultiplicationAlgo.vbr_pallas_inverted):
+        nbc = bell.n_block_cols
+        return (
+            lambda B: bell_spmm_xla_ba(dev, B, n_block_cols=nbc),
+            (N, bell.shape[0]),
+            "bell_xla_ba",
+            flops,
+        )
+
+    if algo == MultiplicationAlgo.vbr_xla_batched:
+        return (
+            lambda B: bell_spmm_xla_unrolled(dev, B),
+            (bell.shape[1], N),
+            "bell_xla_unrolled",
+            flops,
+        )
+
+    if algo in (MultiplicationAlgo.bell_pallas, MultiplicationAlgo.bell_pallas_batched):
+        Np = round_up(N, 128)
+        tn = cfg.tile_n or auto_tile_n(Np)
+        return (
+            lambda B: bell_spmm_pallas(dev, B, tn=tn),
+            (bell.shape[1], Np),
+            f"bell_pallas_tn{tn}",
+            2 * bell.total_nzblocks * bell.block_row_size * bell.block_col_size * Np,
+        )
+
+    raise ValueError(f"no backend for multiplication algo {algo}")
+
+
+def run_experiment(cfg) -> dict:
+    import jax.numpy as jnp
+
+    m = load_matrix(cfg)
+    engine = BlockingEngine.from_config(cfg)
+    engine.backend = getattr(cfg, "backend", "auto")
+
+    algo = MultiplicationAlgo(cfg.multiplication_algo)
+    run_blocking = algo in BLOCKED_ALGOS or algo == MultiplicationAlgo.no_mult
+    if run_blocking:
+        engine.get_grouping(m)
+        engine.collect_blocking_info(m)
+
+    row: dict = {}
+    avg = std = 0.0
+    backend_name = "none"
+    flops = 0
+    if algo != MultiplicationAlgo.no_mult:
+        fn, b_shape, backend_name, flops = make_backend(cfg, m, engine)
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        rng = np.random.default_rng(cfg.seed or 0)
+        B = jnp.asarray(rng.standard_normal(b_shape).astype(np.float32), dtype=dtype)
+        avg, std, _ = time_op(
+            fn, B, warmup=cfg.warmup, reps=cfg.exp_repetitions,
+            inner_iters=getattr(cfg, "inner_iters", 10),
+        )
+        engine.multiplication_timer_avg = avg * 1e3  # ms, schema parity
+        engine.multiplication_timer_std = std * 1e3
+
+    row.update(
+        matrix=cfg.filename,
+        rows=m.rows, cols=m.cols, nonzeros=m.nnz,
+        symmetrize=int(cfg.symmetrize),
+        blocking_algo=cfg.blocking_algo, tau=cfg.tau,
+        row_block_size=cfg.row_block_size, col_block_size=cfg.col_block_size,
+        use_pattern=int(cfg.sim_use_pattern), sim_use_groups=int(cfg.sim_use_groups),
+        sim_measure=cfg.sim_measure, reorder=cfg.reorder, exp_name=cfg.exp_name,
+        b_cols=cfg.b_cols, warmup=cfg.warmup, exp_repetitions=cfg.exp_repetitions,
+        multiplication_algo=cfg.multiplication_algo, n_streams=cfg.n_streams,
+        time_to_block=engine.timer_total, time_to_merge=engine.timer_merges,
+        time_to_compare=engine.timer_comparisons,
+        VBR_nzcount=engine.VBR_nzcount, VBR_nzblocks_count=engine.VBR_nzblocks_count,
+        VBR_average_height=engine.VBR_average_height,
+        VBR_longest_row=engine.VBR_longest_row,
+        merge_counter=engine.merge_counter, comparison_counter=engine.comparison_counter,
+        average_merge_tau=engine.average_merge_tau,
+        average_row_distance=engine.average_row_distance,
+        avg_time_multiply=engine.multiplication_timer_avg,
+        std_time_multiply=engine.multiplication_timer_std,
+    )
+    # extras (reference derived-metric definitions, multiplication_barplots.py:515)
+    row["backend"] = backend_name
+    row["dtype"] = cfg.dtype
+    row["gflops"] = (
+        cfg.b_cols * engine.VBR_nzcount / (row["avg_time_multiply"] * 1e9)
+        if row["avg_time_multiply"] else 0.0
+    )
+    row["nnz_per_s"] = m.nnz / avg if avg else 0.0
+    row["effective_tflops"] = flops / avg / 1e12 if avg else 0.0
+
+    if cfg.outfile:
+        save_csv(cfg.outfile, row)
+        if run_blocking and getattr(cfg, "save_grouping", True):
+            write_grouping(str(cfg.outfile) + ".g", engine.grouping_result)
+    return row
+
+
+def save_csv(path: str | Path, row: dict) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    cols = REFERENCE_COLUMNS + EXTRA_COLUMNS
+    header = ",".join(cols) + ","
+    values = ",".join(_fmt(row.get(c, "")) for c in cols) + ","
+    path.write_text(header + "\n" + values + "\n")
+
+
+def _fmt(v) -> str:
+    if isinstance(v, float):
+        return f"{v:.6f}"
+    return str(v)

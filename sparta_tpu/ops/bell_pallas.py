@@ -96,6 +96,7 @@ def bell_spmm_pallas(
     if N % tn:
         raise ValueError(f"N={N} not a multiple of tile {tn}")
     out_dtype = out_dtype or B.dtype
+    interpret = interpret or jax.default_backend() == "cpu"
 
     grid = (nbr, N // tn)
     kernel = functools.partial(_kernel, bw=bw, tn=tn)
@@ -111,7 +112,7 @@ def bell_spmm_pallas(
                     lambda i, j, *_: (i, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # B stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # B stays in HBM
             ],
             out_specs=pl.BlockSpec(
                 (bh, tn), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM

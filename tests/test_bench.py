@@ -1,0 +1,94 @@
+"""Bench harness tests (CPU): full experiment pipeline per backend + CSV."""
+import csv
+
+import numpy as np
+import pytest
+
+from sparta_tpu.bench.runner import REFERENCE_COLUMNS, run_experiment
+from sparta_tpu.cli import Config, parse_args
+from sparta_tpu.formats import random_block_csr
+
+
+@pytest.fixture(scope="module")
+def matrix_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("bench") / "blocky.el"
+    m = random_block_csr(128, 128, block=16, block_density=0.25, seed=21)
+    m.save_to_edgelist(p)
+    return str(p)
+
+
+def base_cfg(matrix_file, tmp_path, **kw):
+    cfg = Config(
+        filename=matrix_file,
+        outfile=str(tmp_path / "out.csv"),
+        blocking_algo=2,
+        row_block_size=16,
+        col_block_size=16,
+        b_cols=32,
+        warmup=1,
+        exp_repetitions=2,
+        inner_iters=2,
+        verbose=0,
+    )
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+@pytest.mark.parametrize("m_algo", [1, 2, 3, 6, 7, 8])
+def test_run_experiment_backends(matrix_file, tmp_path, m_algo):
+    cfg = base_cfg(matrix_file, tmp_path, multiplication_algo=m_algo)
+    row = run_experiment(cfg)
+    assert row["avg_time_multiply"] > 0
+    assert row["nnz_per_s"] > 0
+    if m_algo in (3, 6, 7, 8):
+        assert row["VBR_nzblocks_count"] > 0
+
+
+def test_blocking_only_run(matrix_file, tmp_path):
+    cfg = base_cfg(matrix_file, tmp_path, multiplication_algo=0, blocking_algo=5,
+                   tau=0.5, force_fixed_size=True)
+    row = run_experiment(cfg)
+    assert row["avg_time_multiply"] == 0
+    assert row["VBR_nzcount"] > 0
+    assert (tmp_path / "out.csv.g").exists()
+
+
+def test_csv_schema(matrix_file, tmp_path):
+    cfg = base_cfg(matrix_file, tmp_path, multiplication_algo=3)
+    run_experiment(cfg)
+    with open(tmp_path / "out.csv") as f:
+        rows = list(csv.reader(f))
+    header = [h for h in rows[0] if h]
+    assert header[: len(REFERENCE_COLUMNS)] == REFERENCE_COLUMNS
+    assert len(rows[1]) == len(rows[0])
+
+
+def test_reordering_beats_natural_blocking(matrix_file, tmp_path):
+    natural = run_experiment(base_cfg(matrix_file, tmp_path, multiplication_algo=0))
+    reordered = run_experiment(
+        base_cfg(matrix_file, tmp_path, multiplication_algo=0, blocking_algo=5,
+                 tau=0.6, force_fixed_size=True)
+    )
+    # the planted-block matrix was row-shuffled; reordering must densify
+    assert reordered["VBR_nzcount"] < natural["VBR_nzcount"]
+
+
+def test_cli_parse_reference_flags():
+    cfg = parse_args(["-a", "5", "-F", "1", "-M", "6", "-t", "0.2", "-b", "128",
+                      "-B", "128", "-c", "2048", "-f", "x.el"])
+    assert cfg.blocking_algo == 5
+    assert cfg.force_fixed_size is True
+    assert cfg.multiplication_algo == 6
+    assert cfg.tau == pytest.approx(0.2)
+    assert cfg.col_block_size == 128 and cfg.row_block_size == 128
+    assert cfg.b_cols == 2048 and cfg.filename == "x.el"
+
+
+def test_cli_main_smoke(matrix_file, tmp_path, capsys):
+    from sparta_tpu.cli import main
+
+    row = main(["-f", matrix_file, "-o", str(tmp_path / "r.csv"), "-a", "2",
+                "-B", "16", "-b", "16", "-M", "3", "-c", "16", "-x", "1",
+                "--inner-iters", "1", "-v", "0"])
+    assert row["VBR_nzblocks_count"] > 0
