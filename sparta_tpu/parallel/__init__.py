@@ -1,0 +1,21 @@
+from .mesh import make_mesh, make_mesh_2d, sharding
+from .spmm import (
+    pad_block_rows,
+    shard_bell_rowwise,
+    spmm_colsplit_reduce_scatter,
+    spmm_ring,
+    spmm_rowsharded,
+    split_bell_cols,
+)
+
+__all__ = [
+    "make_mesh",
+    "make_mesh_2d",
+    "pad_block_rows",
+    "shard_bell_rowwise",
+    "sharding",
+    "spmm_colsplit_reduce_scatter",
+    "spmm_ring",
+    "spmm_rowsharded",
+    "split_bell_cols",
+]

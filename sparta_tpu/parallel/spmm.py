@@ -1,0 +1,193 @@
+"""Multi-chip blocked SpMM.
+
+New capability over the single-GPU reference (SURVEY §2.7): the blocked
+matrix is partitioned across a jax.sharding.Mesh and XLA/ICI collectives
+replace the reference's CUDA-stream concurrency.  Three layouts:
+
+1. row-sharded  : block-rows sharded, B replicated -> C row-sharded with
+                  ZERO communication (pure data parallel over ICI).
+2. colsplit     : block-COLUMNS sharded (each chip holds a K-slice of A and
+                  the matching row-slice of B); partial products reduced with
+                  psum_scatter so C lands row-sharded (reduce_scatter overlap).
+3. ring         : block-rows sharded, B column-sharded (doesn't fit
+                  replicated); B shards rotate around the ring via ppermute
+                  while each chip fills the matching column stripe of its C
+                  rows — compute overlaps the rotation (the SpMM cousin of
+                  ring attention).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..definitions import ceil_div, round_up
+from ..formats.bell import BELL
+from ..ops.bell_xla import bell_spmm_xla
+from ..ops.device import BellDevice
+
+
+# ---------------------------------------------------------------- helpers --
+def pad_block_rows(bell: BELL, multiple: int) -> BELL:
+    """Pad empty block-rows so n_block_rows % multiple == 0."""
+    nbr = bell.n_block_rows
+    target = round_up(nbr, multiple)
+    if target == nbr:
+        return bell
+    extra = target - nbr
+    return dataclasses.replace(
+        bell,
+        cols_idx=np.concatenate(
+            [bell.cols_idx, np.full((extra, bell.max_nb), -1, bell.cols_idx.dtype)]
+        ),
+        vals=np.concatenate(
+            [bell.vals, np.zeros((extra,) + bell.vals.shape[1:], bell.vals.dtype)]
+        ),
+        nb_row=np.concatenate([bell.nb_row, np.zeros(extra, bell.nb_row.dtype)]),
+        shape=(target * bell.block_row_size, bell.shape[1]),
+    )
+
+
+def split_bell_cols(bell: BELL, n_parts: int):
+    """Split by block-column range into n_parts stacked sub-BELLs.
+
+    Returns (cols_idx [P,nbr,w], nb_row [P,nbr], vals [P,nbr,w,bh,bw],
+    k_part) where part p holds blocks with jb in [p*k_part, (p+1)*k_part),
+    indices remapped to the local range.
+    """
+    nbc = bell.n_block_cols
+    k_part = ceil_div(nbc, n_parts)
+    nbr = bell.n_block_rows
+    parts_idx, parts_vals, parts_nb = [], [], []
+    width = 0
+    sel_cache = []
+    for p in range(n_parts):
+        lo, hi = p * k_part, min((p + 1) * k_part, nbc)
+        sel = (bell.cols_idx >= lo) & (bell.cols_idx < hi)
+        sel_cache.append((lo, sel))
+        width = max(width, int(sel.sum(axis=1).max()) if sel.size else 0)
+    width = max(width, 1)
+    for lo, sel in sel_cache:
+        idx = np.full((nbr, width), -1, dtype=bell.cols_idx.dtype)
+        vals = np.zeros((nbr, width) + bell.vals.shape[2:], dtype=bell.vals.dtype)
+        nb = sel.sum(axis=1).astype(bell.nb_row.dtype)
+        for r in range(nbr):
+            cols = np.flatnonzero(sel[r])
+            idx[r, : cols.size] = bell.cols_idx[r, cols] - lo
+            vals[r, : cols.size] = bell.vals[r, cols]
+        parts_idx.append(idx)
+        parts_vals.append(vals)
+        parts_nb.append(nb)
+    return (
+        np.stack(parts_idx),
+        np.stack(parts_nb),
+        np.stack(parts_vals),
+        k_part,
+    )
+
+
+# ------------------------------------------------------------ row-sharded --
+def shard_bell_rowwise(bell: BELL, mesh: Mesh, axis: str = "x", dtype=jnp.float32):
+    """Place a BELL on the mesh with block-rows sharded (pads nbr first)."""
+    n = mesh.shape[axis]
+    bell = pad_block_rows(bell, n)
+    dev = BellDevice.from_host(bell, dtype=dtype)
+    sh = lambda *spec: NamedSharding(mesh, P(*spec))
+    return BellDevice(
+        cols_idx=jax.device_put(dev.cols_idx, sh(axis, None)),
+        nb_row=jax.device_put(dev.nb_row, sh(axis)),
+        vals=jax.device_put(dev.vals, sh(axis, None, None, None)),
+    )
+
+
+def spmm_rowsharded(bell_dev: BellDevice, B: jax.Array) -> jax.Array:
+    """C = A @ B with block-rows sharded and B replicated: XLA compiles this
+    to fully local MXU work, C comes out row-sharded — no collectives."""
+    return bell_spmm_xla(bell_dev, B)
+
+
+# --------------------------------------------- colsplit + reduce_scatter ---
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+def spmm_colsplit_reduce_scatter(
+    cols_idx: jax.Array,  # [P, nbr, w] (sharded on P)
+    nb_row: jax.Array,    # [P, nbr]
+    vals: jax.Array,      # [P, nbr, w, bh, bw]
+    B: jax.Array,         # [P, k_part*bw, N] (sharded on P: each chip its K-slice)
+    mesh: Mesh,
+    axis: str = "x",
+) -> jax.Array:
+    """Partial products on each chip's K-slice, then psum_scatter over
+    block-rows: C lands row-sharded.  The reduce_scatter is XLA's ICI
+    collective — the TPU replacement for the reference's stream-serialized
+    accumulation into shared C stripes (cuda_utilities.cpp:665)."""
+    n = mesh.shape[axis]
+
+    def local(ci, nb, v, b):
+        ci, nb, v, b = ci[0], nb[0], v[0], b[0]
+        part = bell_spmm_xla(BellDevice(ci, nb, v), b)  # [M, N] partial
+        # reduce partials across chips, scattering rows
+        return jax.lax.psum_scatter(
+            part.reshape(n, part.shape[0] // n, part.shape[1]),
+            axis,
+            scatter_dimension=0,
+            tiled=False,
+        )
+
+    spec_in = (
+        P(axis, None, None),
+        P(axis, None),
+        P(axis, None, None, None, None),
+        P(axis, None, None),
+    )
+    return shard_map(
+        local, mesh=mesh, in_specs=spec_in, out_specs=P(axis, None), check_rep=False
+    )(cols_idx, nb_row, vals, B).reshape(-1, B.shape[-1])
+
+
+# ------------------------------------------------------------------- ring --
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+def spmm_ring(
+    bell_dev: BellDevice,  # row-sharded on axis
+    B: jax.Array,          # [K, N] sharded over N on axis
+    mesh: Mesh,
+    axis: str = "x",
+) -> jax.Array:
+    """Row-sharded A x column-sharded B: B shards rotate via ppermute; each
+    step fills one column stripe of the local C rows while the next B shard
+    is in flight.  Memory per chip: |B|/n instead of |B|."""
+    n = mesh.shape[axis]
+    N = B.shape[1]
+    n_chunk = N // n
+
+    def local(ci, nb, v, b_local):
+        me = jax.lax.axis_index(axis)
+        sub = BellDevice(ci, nb, v)
+        M_local = ci.shape[0] * v.shape[2]
+        C = jnp.zeros((M_local, N), dtype=b_local.dtype)
+
+        def step(s, carry):
+            b_cur, C = carry
+            # chunk currently held started at device (me + s) % n
+            src = jax.lax.rem(me + s, n)
+            Cpart = bell_spmm_xla(sub, b_cur)
+            C = jax.lax.dynamic_update_slice(C, Cpart, (0, src * n_chunk))
+            b_nxt = jax.lax.ppermute(
+                b_cur, axis, perm=[((i + 1) % n, i) for i in range(n)]
+            )
+            return b_nxt, C
+
+        _, C = jax.lax.fori_loop(0, n, step, (b_local, C))
+        return C
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis, None, None, None), P(None, axis)),
+        out_specs=P(axis, None),
+        check_rep=False,
+    )(bell_dev.cols_idx, bell_dev.nb_row, bell_dev.vals, B)

@@ -1,0 +1,94 @@
+"""Multi-chip SpMM tests on the 8-virtual-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparta_tpu.formats import bell_from_csr, random_block_csr
+from sparta_tpu.ops import BellDevice, pad_b_for_bell
+from sparta_tpu.parallel import (
+    make_mesh,
+    pad_block_rows,
+    shard_bell_rowwise,
+    spmm_colsplit_reduce_scatter,
+    spmm_ring,
+    spmm_rowsharded,
+    split_bell_cols,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    m = random_block_csr(512, 512, block=16, block_density=0.12, intra_density=0.6,
+                         seed=7, shuffle_rows=False)
+    bell = bell_from_csr(m, None, block_row_size=16)
+    B = np.random.default_rng(0).standard_normal((512, 64)).astype(np.float32)
+    C_ref = m.to_scipy() @ B
+    return m, bell, B, C_ref
+
+
+def test_pad_block_rows(problem):
+    _, bell, _, _ = problem
+    p = pad_block_rows(bell, 7)
+    assert p.n_block_rows % 7 == 0
+    assert p.nb_row[bell.n_block_rows :].sum() == 0
+
+
+def test_rowsharded(problem, mesh):
+    m, bell, B, C_ref = problem
+    dev = shard_bell_rowwise(bell, mesh)
+    Bd = jax.device_put(pad_b_for_bell(B, bell),
+                        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    C = spmm_rowsharded(dev, Bd)
+    np.testing.assert_allclose(np.asarray(C)[: m.rows], C_ref, rtol=1e-4, atol=1e-4)
+    # C must come out row-sharded
+    assert "x" in str(C.sharding.spec) or C.sharding.spec[0] == "x"
+
+
+def test_colsplit_reduce_scatter(problem, mesh):
+    m, bell, B, C_ref = problem
+    n = 8
+    bell_p = pad_block_rows(bell, n)
+    ci, nb, v, k_part = split_bell_cols(bell_p, n)
+    Bp = pad_b_for_bell(B, bell_p)
+    # slice B rows per part, pad K to n*k_part*bw
+    bw = bell.block_col_size
+    K_needed = n * k_part * bw
+    Bp = jnp.pad(Bp, ((0, K_needed - Bp.shape[0]), (0, 0)))
+    Bparts = Bp.reshape(n, k_part * bw, -1)
+    C = spmm_colsplit_reduce_scatter(
+        jnp.asarray(ci), jnp.asarray(nb), jnp.asarray(v), Bparts, mesh
+    )
+    np.testing.assert_allclose(np.asarray(C)[: m.rows], C_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ring(problem, mesh):
+    m, bell, B, C_ref = problem
+    n = 8
+    N = 64
+    dev = shard_bell_rowwise(bell, mesh)
+    Bd = jax.device_put(
+        pad_b_for_bell(B, bell),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "x")),
+    )
+    C = spmm_ring(dev, Bd, mesh)
+    np.testing.assert_allclose(np.asarray(C)[: m.rows], C_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_scaling_consistency(problem, mesh):
+    """All three layouts agree bit-for-bit-ish on the same problem."""
+    m, bell, B, C_ref = problem
+    dev = shard_bell_rowwise(bell, mesh)
+    Brep = jax.device_put(pad_b_for_bell(B, bell),
+                          jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    C1 = np.asarray(spmm_rowsharded(dev, Brep))
+    Bcol = jax.device_put(pad_b_for_bell(B, bell),
+                          jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "x")))
+    C2 = np.asarray(spmm_ring(dev, Bcol, mesh))
+    np.testing.assert_allclose(C1, C2[: C1.shape[0]], rtol=1e-5, atol=1e-5)
