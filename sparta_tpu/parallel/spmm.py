@@ -145,7 +145,7 @@ def spmm_colsplit_reduce_scatter(
         P(axis, None, None),
     )
     return shard_map(
-        local, mesh=mesh, in_specs=spec_in, out_specs=P(axis, None), check_rep=False
+        local, mesh=mesh, in_specs=spec_in, out_specs=P(axis, None), check_vma=False
     )(cols_idx, nb_row, vals, B).reshape(-1, B.shape[-1])
 
 
@@ -189,5 +189,5 @@ def spmm_ring(
         mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(axis, None, None, None), P(None, axis)),
         out_specs=P(axis, None),
-        check_rep=False,
+        check_vma=False,
     )(bell_dev.cols_idx, bell_dev.nb_row, bell_dev.vals, B)
