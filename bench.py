@@ -1,0 +1,132 @@
+"""Headline benchmark: reordered blocked SpMM vs unstructured CSR SpMM,
+one chip.
+
+Mirrors BASELINE config 1 ("A sparse 10k x 10k, ~1% nnz synthetic blocked
+matrix, B dense n x 256, greedy reordering"): the matrix has planted
+128-blocks, rows shuffled; the pipeline must (1) recover the block structure
+by similarity reordering, (2) run blocked SpMM on the MXU, and beat the CSR
+baseline by >=2x (BASELINE.md target; the reference's own headline ratio,
+BCSR vs cuSPARSE-CSR on A100 at B_cols=8192, is 12.16x).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Detail table goes to stderr.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small shapes (smoke)")
+    ap.add_argument("--b-cols", type=int, default=0)
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sparta_tpu.bench.timing import time_op
+    from sparta_tpu.definitions import BlockingType
+    from sparta_tpu.formats import bell_from_csr, random_block_csr
+    from sparta_tpu.ops import (
+        BellDevice,
+        bcoo_spmm,
+        bell_spmm_pallas,
+        bell_spmm_xla,
+        csr_to_bcoo,
+        pad_b_for_bell,
+    )
+    from sparta_tpu.reorder import BlockingEngine
+
+    log(f"devices: {jax.devices()}")
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    # tunnel roundtrip is ~70ms: amortize it with deep serialized loops
+    if args.quick:
+        n, block, bdens, intra, N = 2048, 128, 0.05, 0.35, 512
+        reps, inner = 2, 0  # auto-calibrate
+    else:
+        n, block, bdens, intra, N = 10240, 128, 0.08, 0.13, args.b_cols or 2048
+        reps, inner = 3, 0  # auto-calibrate
+
+    t0 = time.perf_counter()
+    m = random_block_csr(n, n, block=block, block_density=bdens,
+                         intra_density=intra, seed=7)
+    log(f"matrix: {n}x{n} nnz={m.nnz} density={m.nnz/n/n:.4f} "
+        f"({time.perf_counter()-t0:.1f}s)")
+
+    # ---- reorder: greedy similarity blocking with tau search (the
+    # reference's reorder_matrix flow) ----
+    from sparta_tpu.bench.tau import search_tau
+
+    t0 = time.perf_counter()
+    taus = (0.3, 0.1) if args.quick else (0.5, 0.3, 0.1, 0.05)
+    res = search_tau(m, block, block, taus=taus)
+    t_block = time.perf_counter() - t0
+    grouping = res.grouping
+    log(f"blocking: {t_block:.2f}s  tau*={res.best_tau}  nzblocks "
+        f"{res.natural_nzblocks} -> {res.nzblocks} "
+        f"({res.natural_nzblocks/max(res.nzblocks,1):.2f}x fewer)")
+
+    bell = bell_from_csr(m, grouping, block_row_size=block)
+    dev = BellDevice.from_host(bell, dtype=dtype)
+    B = jnp.asarray(
+        np.random.default_rng(0).standard_normal((bell.shape[1], N)),
+        dtype=dtype,
+    )
+
+    flops = 2 * bell.total_nzblocks * block * block * N
+    results = {}
+
+    def bench(name, fn, Bx, fl):
+        try:
+            avg, std, _ = time_op(fn, Bx, warmup=1, reps=reps, inner_iters=inner or None)
+            results[name] = avg
+            log(f"{name:16s}: {avg*1e3:9.3f} ms  ({fl/avg/1e12:6.2f} TFLOP/s eff, "
+                f"std {std*1e3:.3f})")
+        except Exception as e:  # noqa: BLE001 — record and continue
+            log(f"{name:16s}: FAILED {type(e).__name__}: {e}")
+
+    bench("bell_xla", lambda b: bell_spmm_xla(dev, b), B, flops)
+    tn = 512 if N % 512 == 0 else 256 if N % 256 == 0 else 128
+    bench("bell_pallas", lambda b: bell_spmm_pallas(dev, b, tn=tn), B, flops)
+
+    bcoo = csr_to_bcoo(m, dtype=dtype)
+    Bc = B[: m.cols]
+    bench("csr_bcoo", lambda b: bcoo_spmm(bcoo, b), Bc, 2 * m.nnz * N)
+
+    blocked = min(v for k, v in results.items() if k.startswith("bell"))
+    csr = results.get("csr_bcoo")
+    if csr is None:
+        log("CSR baseline failed; reporting blocked nnz/s only")
+        out = {
+            "metric": "blocked_spmm_nnz_per_s",
+            "value": round(m.nnz / blocked / 1e9, 3),
+            "unit": "Gnnz/s",
+            "vs_baseline": 0.0,
+        }
+    else:
+        speedup = csr / blocked
+        # reference headline: BCSR_reord 0.541 ms vs CSR 6.579 ms (A100,
+        # B_cols 8192) = 12.16x  (BASELINE.md)
+        out = {
+            "metric": "reordered_blocked_spmm_speedup_vs_csr",
+            "value": round(speedup, 2),
+            "unit": "x",
+            "vs_baseline": round(speedup / 12.16, 3),
+        }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

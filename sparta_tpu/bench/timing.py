@@ -1,12 +1,18 @@
 """Robust device timing.
 
-The driver's TPU is reached through a tunnel where per-dispatch
-``block_until_ready`` is unreliable (it can return before execution and a
-host roundtrip costs tens of ms).  So instead of the reference's
-cudaEvent-per-rep pattern (cuda_utilities.cpp:135-191) we time ONE dispatch
-of a jitted ``lax.fori_loop`` that chains ``iters`` applications of the op
-through a data dependency (B is perturbed by eps*C[0,0] each step so nothing
-hoists out of the loop), then force completion with a device_get.
+The driver's TPU is reached through a tunnel where a dispatch+sync carries a
+large fixed overhead (~100ms) and per-dispatch ``block_until_ready`` can
+return early.  So instead of the reference's cudaEvent-per-rep pattern
+(cuda_utilities.cpp:135-191):
+
+1. the op runs inside a jitted ``lax.fori_loop`` with a TRACED trip count
+   (one compile, any depth), iterations chained through a data dependency
+   (B perturbed by eps*C[0,0]) so nothing hoists or overlaps;
+2. per-iteration time is measured DIFFERENTIALLY: time(deep loop) minus
+   time(shallow loop) over the iteration delta, cancelling the fixed
+   dispatch/transfer overhead exactly;
+3. loop depth is auto-calibrated so each measurement runs ~target_time of
+   real device work.
 """
 from __future__ import annotations
 
@@ -18,17 +24,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_timed_loop(fn: Callable, iters: int):
-    """Jitted loop running C = fn(B) ``iters`` times, serialized."""
+def make_timed_loop(fn: Callable):
+    """Jitted (B, n) -> B_n running C = fn(B) n times, serialized."""
 
     @jax.jit
-    def loop(B):
+    def loop(B, n):
         def body(_, carry):
             C = fn(carry)
             eps = jnp.asarray(1e-38, dtype=carry.dtype)
             return carry * (1 + eps * C[(0,) * C.ndim].astype(carry.dtype))
 
-        return jax.lax.fori_loop(0, iters, body, B)
+        return jax.lax.fori_loop(0, n, body, B, unroll=False)
 
     return loop
 
@@ -38,27 +44,43 @@ def time_op(
     B: jax.Array,
     warmup: int = 1,
     reps: int = 5,
-    inner_iters: int = 10,
-) -> tuple[float, float, np.ndarray]:
-    """Returns (avg_seconds_per_call, std_seconds, last_output_sample).
+    inner_iters: int | None = None,
+    target_time: float = 0.4,
+) -> tuple[float, float, object]:
+    """Returns (avg_seconds_per_call, std_seconds, last_output).
 
-    ``reps`` outer measurements of an ``inner_iters``-deep serialized loop;
-    avg/std computed over the per-iteration times of the outer reps
-    (mirrors the reference's warmup/reps protocol, cuda_multiply.cpp:180-185).
+    ``inner_iters`` pins the deep-loop depth explicitly; default is
+    auto-calibration toward ``target_time`` seconds of device work.
     """
-    loop = make_timed_loop(fn, inner_iters)
-    out = loop(B)
-    np.asarray(out)  # compile + settle
+    loop = make_timed_loop(fn)
+
+    def run(n) -> float:
+        t0 = time.perf_counter()
+        out = loop(B, n)
+        np.asarray(out)  # device_get forces completion through the tunnel
+        return time.perf_counter() - t0
+
+    run(2)  # compile + settle
     for _ in range(max(warmup - 1, 0)):
-        np.asarray(loop(B))
+        run(2)
+
+    if inner_iters:
+        n_big = max(inner_iters, 2)
+        n_small = max(n_big // 8, 1)
+    else:
+        t8, t64 = run(8), run(64)
+        per = max((t64 - t8) / 56, 1e-7)
+        n_big = int(np.clip(target_time / per, 8, 20000))
+        n_small = max(n_big // 8, 1)
+
     times = []
     for _ in range(reps):
-        t0 = time.perf_counter()
-        out = loop(B)
-        np.asarray(out)  # device_get forces real completion through tunnels
-        times.append((time.perf_counter() - t0) / inner_iters)
+        ts = run(n_small)
+        tb = run(n_big)
+        times.append((tb - ts) / (n_big - n_small))
     times = np.asarray(times)
-    return float(times.mean()), float(times.std()), out
+    # differential timing can go non-positive under noise for ~us ops
+    return max(float(times.mean()), 1e-9), float(times.std()), None
 
 
 def time_fn_once(fn: Callable, *args) -> tuple[float, object]:

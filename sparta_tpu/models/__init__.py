@@ -1,0 +1,13 @@
+from .layers import BlockSparseLinear, make_block_mask
+from .train import lm_loss, make_sharded_train_step, make_train_step
+from .transformer import BlockSparseTransformer, TransformerConfig
+
+__all__ = [
+    "BlockSparseLinear",
+    "BlockSparseTransformer",
+    "TransformerConfig",
+    "lm_loss",
+    "make_block_mask",
+    "make_sharded_train_step",
+    "make_train_step",
+]

@@ -1,0 +1,118 @@
+"""Neural-net layers over block-sparse weights.
+
+The reference has no model layer (SURVEY §0); this implements the north
+star's "block-sparse transformer weight matrices SpMM batch inference /
+training" capability: weight matrices stored in Blocked-ELL, forward =
+our bell SpMM (autodiff-ready: gradients flow to the block values through
+the same gather structure).
+
+Pure-pytree style: each layer is (init(key) -> params, apply(params, x));
+static structure (block indices) lives in the config object, OUTSIDE the
+trainable pytree, so optimizers only see float leaves.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..definitions import ceil_div
+from ..ops.bell_xla import bell_spmm_xla
+from ..ops.device import BellDevice
+
+
+def make_block_mask(
+    out_dim: int, in_dim: int, block: int, block_density: float, key
+) -> tuple[np.ndarray, np.ndarray]:
+    """Random block-sparsity pattern: (cols_idx [nbr, max_nb], nb_row [nbr]).
+
+    Every block-row keeps the same number of blocks (balanced, MXU-friendly)
+    = the 80-95%-sparse pruned-weight layout of the north star's config.
+    """
+    nbr, nbc = ceil_div(out_dim, block), ceil_div(in_dim, block)
+    per_row = max(1, round(nbc * block_density))
+    rng = np.random.default_rng(np.asarray(jax.random.key_data(key)).sum())
+    cols = np.stack(
+        [np.sort(rng.choice(nbc, size=per_row, replace=False)) for _ in range(nbr)]
+    ).astype(np.int32)
+    nb_row = np.full(nbr, per_row, dtype=np.int32)
+    return cols, nb_row
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSparseLinear:
+    """y = x @ W^T (+ b), W [out_dim, in_dim] in Blocked-ELL."""
+
+    out_dim: int
+    in_dim: int
+    block: int
+    cols_idx: jax.Array  # [nbr, max_nb] int32
+    nb_row: jax.Array    # [nbr] int32
+    use_bias: bool = True
+
+    @classmethod
+    def create(cls, key, out_dim, in_dim, block=128, block_density=0.15,
+               use_bias=True) -> "BlockSparseLinear":
+        cols, nb = make_block_mask(out_dim, in_dim, block, block_density, key)
+        return cls(out_dim, in_dim, block, jnp.asarray(cols), jnp.asarray(nb),
+                   use_bias)
+
+    @property
+    def max_nb(self) -> int:
+        return self.cols_idx.shape[1]
+
+    def init(self, key) -> dict:
+        nbr = self.cols_idx.shape[0]
+        # fan-in of each output row = stored blocks * block width
+        fan_in = self.max_nb * self.block
+        w = jax.random.normal(
+            key, (nbr, self.max_nb, self.block, self.block), dtype=jnp.float32
+        ) * (1.0 / np.sqrt(fan_in))
+        params = {"vals": w}
+        if self.use_bias:
+            params["bias"] = jnp.zeros((self.out_dim,), dtype=jnp.float32)
+        return params
+
+    def apply(self, params, x: jax.Array) -> jax.Array:
+        """x: [..., in_dim] -> [..., out_dim]."""
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        K = ceil_div(self.in_dim, self.block) * self.block
+        if x2.shape[1] < K:
+            x2 = jnp.pad(x2, ((0, 0), (0, K - x2.shape[1])))
+        dev = BellDevice(self.cols_idx, self.nb_row, params["vals"].astype(x.dtype))
+        y = bell_spmm_xla(dev, x2.T).T[:, : self.out_dim]
+        if self.use_bias:
+            y = y + params["bias"].astype(y.dtype)
+        return y.reshape(*lead, self.out_dim)
+
+    def density(self) -> float:
+        nbr = self.cols_idx.shape[0]
+        return float(nbr * self.max_nb * self.block * self.block) / (
+            self.out_dim * self.in_dim
+        )
+
+
+def dense_init(key, out_dim, in_dim) -> dict:
+    return {
+        "w": jax.random.normal(key, (in_dim, out_dim), dtype=jnp.float32)
+        / np.sqrt(in_dim),
+        "b": jnp.zeros((out_dim,), dtype=jnp.float32),
+    }
+
+
+def dense_apply(params, x):
+    return x @ params["w"].astype(x.dtype) + params["b"].astype(x.dtype)
+
+
+def layernorm_init(dim) -> dict:
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def layernorm_apply(params, x, eps=1e-5):
+    mean = x.mean(-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * params["scale"].astype(x.dtype) + params["bias"].astype(x.dtype)

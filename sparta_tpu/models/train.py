@@ -1,0 +1,87 @@
+"""Training step for the block-sparse transformer, shardable over a
+(dp, tp) mesh.
+
+Gradients flow into the Blocked-ELL FFN values through the SpMM gather
+structure (bell_spmm_xla is pure jnp, so autodiff handles it); the optimizer
+only ever sees the stored blocks — pruned weights stay pruned.
+
+Sharding layout (annotated via NamedSharding on params + batch):
+- dp: batch axis of tokens/activations
+- tp: FFN block-rows (ffn_up vals: output-feature parallel) and FFN
+  block-columns via ffn_down vals block-rows (d_model rows) replication;
+  attention weights replicated.  XLA inserts the psum/all-gathers.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .transformer import BlockSparseTransformer
+
+
+def lm_loss(model: BlockSparseTransformer, params, tokens) -> jax.Array:
+    logits = model.apply(params, tokens[:, :-1])
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1).squeeze(-1)
+    return nll.mean()
+
+
+def make_train_step(model: BlockSparseTransformer, optimizer):
+    @jax.jit
+    def train_step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(
+            functools.partial(lm_loss, model)
+        )(params, tokens)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def param_shardings(model: BlockSparseTransformer, params, mesh: Mesh):
+    """NamedShardings: FFN vals sharded over tp on block-rows, rest replicated."""
+
+    def shard_of(path, leaf):
+        names = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        if "ffn_up" in names and names[-1] == "vals":
+            return NamedSharding(mesh, P("tp", None, None, None))
+        if "ffn_down" in names and names[-1] == "vals":
+            # block-columns of the down projection follow ffn_up's rows;
+            # sharding vals on max_nb (ragged) is unsound -> replicate rows
+            return NamedSharding(mesh, P(None, None, None, None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(shard_of, params)
+
+
+def make_sharded_train_step(
+    model: BlockSparseTransformer, optimizer, mesh: Mesh
+):
+    """jit with explicit in/out shardings over the (dp, tp) mesh."""
+
+    def init_sharded(key, sample_tokens):
+        params = model.init(key)
+        p_sh = param_shardings(model, params, mesh)
+        params = jax.device_put(params, p_sh)
+        opt_state = optimizer.init(params)
+        tokens = jax.device_put(
+            sample_tokens, NamedSharding(mesh, P("dp", None))
+        )
+        return params, opt_state, tokens
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(
+            functools.partial(lm_loss, model)
+        )(params, tokens)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return init_sharded, train_step

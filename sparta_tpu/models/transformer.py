@@ -1,0 +1,117 @@
+"""Block-sparse transformer (pruned-BERT-style): dense attention + Blocked-ELL
+sparse FFN weights, the north-star "block-sparse transformer weight matrices
+SpMM batch inference" configuration.
+
+Pure-pytree model: ``BlockSparseTransformer.init(key)`` returns the param
+tree; ``apply(params, tokens)`` the logits.  Static block structure lives in
+the config (not in params) so optimizers and shardings see float leaves only.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import (
+    BlockSparseLinear,
+    dense_apply,
+    dense_init,
+    layernorm_apply,
+    layernorm_init,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    vocab: int = 1024
+    d_model: int = 512
+    n_heads: int = 8
+    n_layers: int = 2
+    d_ff: int = 2048
+    max_seq: int = 512
+    block: int = 128
+    ffn_block_density: float = 0.15   # 85% block-sparse FFN
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSparseTransformer:
+    cfg: TransformerConfig
+    ffn_up: tuple[BlockSparseLinear, ...]
+    ffn_down: tuple[BlockSparseLinear, ...]
+
+    @classmethod
+    def create(cls, cfg: TransformerConfig, key) -> "BlockSparseTransformer":
+        keys = jax.random.split(key, 2 * cfg.n_layers)
+        up = tuple(
+            BlockSparseLinear.create(
+                keys[2 * i], cfg.d_ff, cfg.d_model, cfg.block, cfg.ffn_block_density
+            )
+            for i in range(cfg.n_layers)
+        )
+        down = tuple(
+            BlockSparseLinear.create(
+                keys[2 * i + 1], cfg.d_model, cfg.d_ff, cfg.block, cfg.ffn_block_density
+            )
+            for i in range(cfg.n_layers)
+        )
+        return cls(cfg, up, down)
+
+    # -- params -----------------------------------------------------------
+    def init(self, key) -> dict:
+        cfg = self.cfg
+        k_emb, k_pos, *k_layers = jax.random.split(key, 2 + cfg.n_layers)
+        params = {
+            "embed": jax.random.normal(k_emb, (cfg.vocab, cfg.d_model)) * 0.02,
+            "pos": jax.random.normal(k_pos, (cfg.max_seq, cfg.d_model)) * 0.02,
+            "final_ln": layernorm_init(cfg.d_model),
+            "layers": [],
+        }
+        for i in range(cfg.n_layers):
+            ks = jax.random.split(k_layers[i], 6)
+            params["layers"].append(
+                {
+                    "ln1": layernorm_init(cfg.d_model),
+                    "ln2": layernorm_init(cfg.d_model),
+                    "qkv": dense_init(ks[0], 3 * cfg.d_model, cfg.d_model),
+                    "proj": dense_init(ks[1], cfg.d_model, cfg.d_model),
+                    "ffn_up": self.ffn_up[i].init(ks[2]),
+                    "ffn_down": self.ffn_down[i].init(ks[3]),
+                }
+            )
+        return params
+
+    # -- forward ----------------------------------------------------------
+    def apply(self, params, tokens: jax.Array) -> jax.Array:
+        """tokens [batch, seq] int32 -> logits [batch, seq, vocab]."""
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        x = params["embed"][tokens].astype(dtype)
+        x = x + params["pos"][: tokens.shape[1]].astype(dtype)
+        for i, lp in enumerate(params["layers"]):
+            x = x + self._attn(lp, layernorm_apply(lp["ln1"], x), cfg)
+            h = layernorm_apply(lp["ln2"], x)
+            h = self.ffn_up[i].apply(lp["ffn_up"], h)
+            h = jax.nn.gelu(h)
+            h = self.ffn_down[i].apply(lp["ffn_down"], h)
+            x = x + h
+        x = layernorm_apply(params["final_ln"], x)
+        return (x @ params["embed"].T.astype(dtype)).astype(jnp.float32)
+
+    @staticmethod
+    def _attn(lp, x, cfg):
+        b, s, d = x.shape
+        h = cfg.n_heads
+        qkv = dense_apply(lp["qkv"], x).reshape(b, s, 3, h, d // h)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d // h)
+        mask = jnp.tril(jnp.ones((s, s), dtype=bool))
+        logits = jnp.where(mask, logits, -1e30)
+        att = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, s, d)
+        return dense_apply(lp["proj"], out)
+
+    def param_count(self, params) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

@@ -1,0 +1,90 @@
+"""Block-sparse transformer tests: forward, autodiff into blocks, training
+step on the dp x tp virtual mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from sparta_tpu.models import (
+    BlockSparseLinear,
+    BlockSparseTransformer,
+    TransformerConfig,
+    lm_loss,
+    make_sharded_train_step,
+    make_train_step,
+)
+
+CFG = TransformerConfig(
+    vocab=128, d_model=128, n_heads=4, n_layers=2, d_ff=256, max_seq=64,
+    block=32, ffn_block_density=0.25,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return BlockSparseTransformer.create(CFG, jax.random.key(0))
+
+
+def test_block_sparse_linear_matches_dense():
+    key = jax.random.key(1)
+    lin = BlockSparseLinear.create(key, 64, 96, block=16, block_density=0.5)
+    params = lin.init(jax.random.key(2))
+    x = jax.random.normal(jax.random.key(3), (8, 96))
+    y = lin.apply(params, x)
+    assert y.shape == (8, 64)
+    # dense reconstruction of the blocked weight
+    W = np.zeros((64, 96), dtype=np.float32)
+    cols = np.asarray(lin.cols_idx)
+    vals = np.asarray(params["vals"])
+    for ib in range(cols.shape[0]):
+        for k in range(int(lin.nb_row[ib])):
+            jb = cols[ib, k]
+            W[ib * 16 : (ib + 1) * 16, jb * 16 : (jb + 1) * 16] = vals[ib, k]
+    y_ref = np.asarray(x) @ W.T + np.asarray(params["bias"])
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-4, atol=1e-4)
+    assert 0.4 < lin.density() < 0.6
+
+
+def test_forward_shapes(model):
+    params = model.init(jax.random.key(1))
+    tokens = jax.random.randint(jax.random.key(2), (2, 16), 0, CFG.vocab)
+    logits = model.apply(params, tokens)
+    assert logits.shape == (2, 16, CFG.vocab)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_grads_flow_into_blocks(model):
+    params = model.init(jax.random.key(1))
+    tokens = jax.random.randint(jax.random.key(2), (2, 16), 0, CFG.vocab)
+    grads = jax.grad(lambda p: lm_loss(model, p, tokens))(params)
+    g = np.asarray(grads["layers"][0]["ffn_up"]["vals"])
+    assert g.shape == params["layers"][0]["ffn_up"]["vals"].shape
+    assert np.abs(g).max() > 0
+
+
+def test_train_step_reduces_loss(model):
+    params = model.init(jax.random.key(1))
+    opt = optax.adamw(3e-3)
+    opt_state = opt.init(params)
+    step = make_train_step(model, opt)
+    tokens = jax.random.randint(jax.random.key(5), (4, 32), 0, CFG.vocab)
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss = step(params, opt_state, tokens)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_sharded_train_step():
+    from sparta_tpu.parallel import make_mesh_2d
+
+    mesh = make_mesh_2d((2, 4), axes=("dp", "tp"))
+    model = BlockSparseTransformer.create(CFG, jax.random.key(0))
+    opt = optax.adamw(1e-3)
+    init_sharded, step = make_sharded_train_step(model, opt, mesh)
+    tokens = jax.random.randint(jax.random.key(5), (8, 32), 0, CFG.vocab)
+    with jax.sharding.set_mesh(mesh):
+        params, opt_state, tokens_s = init_sharded(jax.random.key(1), tokens)
+        params, opt_state, loss = step(params, opt_state, tokens_s)
+        assert np.isfinite(float(loss))
