@@ -147,15 +147,19 @@ def greedy_blocking(
         pat = _Pattern(cmat, sigs, i, cmat.cols, col_block_size)
 
         cand = np.flatnonzero(ung[i + 1 :]).astype(np.int64) + (i + 1)
+        pruned_rows = np.zeros(0, dtype=np.int64)
         if prune and cand.size:
             d_i = distances[i]
             d_c = distances[cand]
             pruned = (d_i != -1) & (d_c != -1) & (np.abs(d_i - d_c) > tau)
-            distances[cand[pruned]] = -1.0
+            pruned_rows = cand[pruned]  # marked -1 only if visited (below)
             cand = cand[~pruned]
 
         best: list[tuple[float, int]] = []  # keeper near-miss set, sorted
         full = max_size is not None and len(merged) >= max_size
+        # row at which the sweep broke off (block full): candidates beyond it
+        # are never visited, so their prune marks must not be applied
+        stop_row = -1 if full else None
         pos = 0
         while pos < cand.size and not full:
             end = min(pos + CHUNK, cand.size)
@@ -164,9 +168,17 @@ def greedy_blocking(
                 measure, pat.bits, sigs[chunk], pat.group_size, pat.elems,
                 row_elems[chunk],
             )
-            distances[chunk] = d
             acc = d < tau if strict_less else d <= tau
+            # cache distances only for rows actually visited this sweep: on a
+            # merge the scan restarts after the hit, and rows past a
+            # block-full stop are never visited by the sequential reference
+            _hit = int(np.argmax(acc)) if acc.any() else -1
+            if _hit < 0:
+                distances[chunk] = d
+            else:
+                distances[chunk[: _hit + 1]] = d[: _hit + 1]
             if static_pattern:
+                distances[chunk] = d  # every chunk row is visited here
                 hits = np.flatnonzero(acc)
                 js = chunk[hits]
                 grouping[js] = group_id
@@ -178,7 +190,7 @@ def greedy_blocking(
                 stats.comparison_counter += chunk.size
                 pos = end
                 continue
-            hit = int(np.argmax(acc)) if acc.any() else -1
+            hit = _hit
             if hit < 0:
                 stats.comparison_counter += chunk.size
                 if keeper:
@@ -206,6 +218,15 @@ def greedy_blocking(
             pos += hit + 1
             if max_size is not None and len(merged) >= max_size:
                 full = True
+                stop_row = j
+
+        if prune and pruned_rows.size:
+            visited = (
+                pruned_rows
+                if stop_row is None
+                else pruned_rows[pruned_rows < stop_row]
+            )
+            distances[visited] = -1.0
 
         if keeper and not full:
             # top up under-full block from the best near misses (dist order)
