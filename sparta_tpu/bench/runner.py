@@ -116,8 +116,35 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
         A = csr_to_bcoo(m, dtype=dtype)
         return (lambda B: bcoo_spmm(A, B)), (m.cols, N), "csr_bcoo", 2 * m.nnz * N
 
-    # blocked paths need a grouping with fixed-size row blocks
     grouping = engine.grouping_result
+    vbr_family = {
+        MultiplicationAlgo.vbr_xla, MultiplicationAlgo.vbr_xla_fixed,
+        MultiplicationAlgo.vbr_xla_inverted, MultiplicationAlgo.vbr_xla_batched,
+        MultiplicationAlgo.vbr_pallas, MultiplicationAlgo.vbr_pallas_inverted,
+    }
+
+    # variable-height VBR path: vbr-family algos without forced fixed blocks
+    # (the bucketed device layout keeps the reference's -M 4/6 semantics)
+    if algo in vbr_family and not cfg.force_fixed_size and grouping is not None:
+        from ..formats import vbr_from_csr
+        from ..ops import VbrDevice, vbr_spmm_xla, vbr_spmm_xla_ba
+
+        vbr = vbr_from_csr(m, grouping, col_block_size=cfg.col_block_size)
+        vdev = VbrDevice.from_host(vbr, dtype=dtype)
+        flops = 2 * int((np.diff(vbr.block_ptr)).sum()) * N
+        K = vbr.block_cols * vbr.block_col_size
+        if algo in (MultiplicationAlgo.vbr_xla_inverted,
+                    MultiplicationAlgo.vbr_pallas_inverted):
+            return (
+                lambda B: vbr_spmm_xla_ba(vdev, B),
+                (N, vbr.shape[0]),
+                "vbr_xla_ba",
+                flops,
+            )
+        return (lambda B: vbr_spmm_xla(vdev, B)), (K, N), "vbr_xla_bucketed", flops
+
+    # fixed-size blocked paths (the reference forces square fixed blocks for
+    # every bellpack/BCSR experiment, cuda_multiply.cpp:51-62)
     bell = bell_from_csr(
         m,
         None if grouping is None else get_fixed_size_grouping(grouping, cfg.row_block_size),
@@ -149,12 +176,22 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
         )
 
     if algo in (MultiplicationAlgo.bell_pallas, MultiplicationAlgo.bell_pallas_batched):
+        from ..ops import BellCompactDevice, bell_spmm_pallas_auto, bell_spmm_pallas_compact
+
         Np = round_up(N, 128)
-        tn = cfg.tile_n or auto_tile_n(Np)
+        if cfg.tile_n:
+            cdev = BellCompactDevice.from_host(bell, dtype=dtype)
+            tn = cfg.tile_n
+            return (
+                lambda B: bell_spmm_pallas_compact(cdev, B, tn=tn),
+                (bell.shape[1], Np),
+                f"bell_pallas_compact_tn{tn}",
+                2 * bell.total_nzblocks * bell.block_row_size * bell.block_col_size * Np,
+            )
         return (
-            lambda B: bell_spmm_pallas(dev, B, tn=tn),
+            lambda B: bell_spmm_pallas_auto(dev, B),
             (bell.shape[1], Np),
-            f"bell_pallas_tn{tn}",
+            "bell_pallas_auto",
             2 * bell.total_nzblocks * bell.block_row_size * bell.block_col_size * Np,
         )
 

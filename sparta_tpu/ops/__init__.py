@@ -1,13 +1,24 @@
-from .bell_pallas import bell_spmm_pallas
+from .bell_compact import BellCompactDevice, bell_spmm_pallas_compact
+from .bell_pallas import (
+    bell_spmm_pallas,
+    bell_spmm_pallas_auto,
+    bell_spmm_pallas_bcache,
+)
 from .bell_xla import bell_spmm_xla, bell_spmm_xla_ba, bell_spmm_xla_unrolled
 from .csr_spmm import EllDevice, bcoo_spmm, csr_to_bcoo, dense_matmul, ell_spmm
 from .device import BellDevice, pad_b_for_bell
+from .vbr_xla import VbrDevice, vbr_spmm_xla, vbr_spmm_xla_ba
 
 __all__ = [
+    "BellCompactDevice",
     "BellDevice",
     "EllDevice",
+    "VbrDevice",
     "bcoo_spmm",
     "bell_spmm_pallas",
+    "bell_spmm_pallas_auto",
+    "bell_spmm_pallas_bcache",
+    "bell_spmm_pallas_compact",
     "bell_spmm_xla",
     "bell_spmm_xla_ba",
     "bell_spmm_xla_unrolled",
@@ -15,4 +26,6 @@ __all__ = [
     "dense_matmul",
     "ell_spmm",
     "pad_b_for_bell",
+    "vbr_spmm_xla",
+    "vbr_spmm_xla_ba",
 ]

@@ -77,6 +77,114 @@ def _kernel(
     out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
+def _kernel_bcache(
+    cols_ref,     # int32 [nbr, max_nb] (SMEM)
+    nb_ref,       # int32 [nbr]        (SMEM)
+    vals_ref,     # [1, max_nb, bh, bw] (VMEM, this block-row)
+    b_ref,        # [K, tn] (VMEM, resident across the whole i sweep)
+    out_ref,      # [bh, tn]
+    acc_ref,      # [bh, tn] fp32
+    *,
+    bw: int,
+):
+    i = pl.program_id(1)
+    nb = nb_ref[i]
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(k, _):
+        jb = cols_ref[i, k]
+        acc_ref[...] += jax.lax.dot(
+            vals_ref[0, k],
+            b_ref[pl.ds(jb * bw, bw), :],
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nb, body, 0)
+    out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tn", "out_dtype", "interpret"))
+def bell_spmm_pallas_bcache(
+    bell: BellDevice,
+    B: jax.Array,
+    tn: int = 512,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Blocked SpMM with the B column-tile RESIDENT in VMEM.
+
+    Grid (N/tn, nbr) with the block-row sweep innermost: the pipeline fetches
+    B[:, j*tn:(j+1)*tn] once per j and keeps it while every block-row
+    multiplies against it, so B HBM traffic is K*N instead of the gather
+    kernel's nzblocks*bw*N — compute-bound when block density is moderate.
+    Requires K*tn*itemsize to fit the VMEM budget (see auto selector).
+    """
+    nbr, max_nb, bh, bw = bell.vals.shape
+    K, N = B.shape
+    if N % tn:
+        raise ValueError(f"N={N} not a multiple of tile {tn}")
+    out_dtype = out_dtype or B.dtype
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    kernel = functools.partial(_kernel_bcache, bw=bw)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(N // tn, nbr),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, max_nb, bh, bw),
+                    lambda j, i, *_: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((K, tn), lambda j, i, *_: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (bh, tn), lambda j, i, *_: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.VMEM((bh, tn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nbr * max_nb * bh * bw * N,
+            bytes_accessed=(
+                (N // tn) * bell.vals.size * bell.vals.dtype.itemsize
+                + K * N * B.dtype.itemsize
+                + nbr * bh * N * jnp.dtype(out_dtype).itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bell.cols_idx, bell.nb_row, bell.vals, B)
+
+
+VMEM_BUDGET = 10 * 1024 * 1024  # leave headroom out of ~16MB/core
+
+
+def bell_spmm_pallas_auto(
+    bell: BellDevice, B: jax.Array, out_dtype=None, interpret: bool = False
+) -> jax.Array:
+    """Pick the resident-B kernel when a column tile fits VMEM, else the
+    gather-DMA kernel; choose the largest fitting tile width."""
+    K, N = B.shape
+    item = B.dtype.itemsize
+    tiles = [t for t in (1024, 512, 256, 128, 64, 32) if N % t == 0] or [N]
+    for tn in tiles:
+        vals_row = bell.max_nb * bell.block_row_size * bell.block_col_size
+        need = K * tn * item + 2 * vals_row * bell.vals.dtype.itemsize \
+            + 3 * bell.block_row_size * tn * 4
+        if need <= VMEM_BUDGET:
+            return bell_spmm_pallas_bcache(bell, B, tn=tn, out_dtype=out_dtype,
+                                           interpret=interpret)
+    return bell_spmm_pallas(bell, B, tn=tiles[0], out_dtype=out_dtype,
+                            interpret=interpret)
+
+
 @functools.partial(
     jax.jit, static_argnames=("tn", "out_dtype", "interpret")
 )

@@ -92,3 +92,13 @@ def test_cli_main_smoke(matrix_file, tmp_path, capsys):
                 "-B", "16", "-b", "16", "-M", "3", "-c", "16", "-x", "1",
                 "--inner-iters", "1", "-v", "0"])
     assert row["VBR_nzblocks_count"] > 0
+
+
+@pytest.mark.parametrize("m_algo", [4, 6])
+def test_variable_height_vbr_backends(matrix_file, tmp_path, m_algo):
+    """-M 4/6 with a reordering grouping and NO -F: bucketed VBR path."""
+    cfg = base_cfg(matrix_file, tmp_path, multiplication_algo=m_algo,
+                   blocking_algo=3, tau=0.5)
+    row = run_experiment(cfg)
+    assert row["backend"].startswith("vbr_xla")
+    assert row["avg_time_multiply"] > 0

@@ -1,0 +1,52 @@
+"""Variable-height VBR device SpMM vs host oracle."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparta_tpu.definitions import BlockingType
+from sparta_tpu.formats import random_uniform_csr, vbr_from_csr
+from sparta_tpu.ops.vbr_xla import VbrDevice, vbr_spmm_xla, vbr_spmm_xla_ba
+from sparta_tpu.reorder import BlockingEngine
+from sparta_tpu.utils import get_permutation
+
+
+@pytest.fixture(scope="module")
+def problem():
+    m = random_uniform_csr(200, 180, 0.06, seed=17)
+    eng = BlockingEngine(tau=0.6, col_block_size=16, row_block_size=16,
+                         blocking_algo=BlockingType.iterative_clocked,
+                         backend="numpy")
+    g = eng.get_grouping(m)  # variable-height groups
+    vbr = vbr_from_csr(m, g, col_block_size=16)
+    assert len(np.unique(vbr.heights)) > 1, "want genuinely variable heights"
+    return m, g, vbr
+
+
+def test_vbr_spmm_xla(problem):
+    m, g, vbr = problem
+    dev = VbrDevice.from_host(vbr)
+    B = np.random.default_rng(0).standard_normal((vbr.block_cols * 16, 24)).astype(np.float32)
+    C = vbr_spmm_xla(dev, jnp.asarray(B))
+    C_ref = (m.to_scipy() @ B[: m.cols])[get_permutation(g)]
+    np.testing.assert_allclose(np.asarray(C)[: m.rows], C_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_vbr_spmm_xla_ba(problem):
+    m, g, vbr = problem
+    dev = VbrDevice.from_host(vbr)
+    N = 24
+    B = np.random.default_rng(1).standard_normal((N, vbr.shape[0])).astype(np.float32)
+    C = vbr_spmm_xla_ba(dev, jnp.asarray(B))
+    perm = get_permutation(g)
+    # B columns are in permuted row space: unpermute for the oracle
+    B_orig = np.zeros((N, m.rows), dtype=np.float32)
+    B_orig[:, perm[: m.rows]] = B[:, : m.rows] if vbr.shape[0] >= m.rows else B
+    C_ref = B_orig @ m.to_scipy()
+    np.testing.assert_allclose(np.asarray(C)[:, : m.cols], C_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_vbr_bucketing_covers_all_blocks(problem):
+    _, _, vbr = problem
+    dev = VbrDevice.from_host(vbr)
+    total = sum(int((b.cols_idx >= 0).sum()) for b in dev.buckets)
+    assert total == vbr.total_nzblocks
