@@ -1,0 +1,96 @@
+"""Experiment sweeps with idempotent resume.
+
+TPU-native equivalent of the reference's SLURM sweep layer
+(src/scripts/run_blocking_experiments*.sh, run_multiplication_experiments_
+fixed_cluster.sh): a sweep is a grid over {matrix, tau, block sizes, algo,
+backend}; each cell runs as one experiment whose output file is keyed by a
+config hash — existing outputs are skipped, so an interrupted sweep resumes
+for free (the reference's skip-if-output-exists pattern,
+run_blocking_experiments_cluster.sh:59-65).
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import itertools
+import json
+from pathlib import Path
+
+from ..cli import Config
+from .runner import run_experiment
+
+# named flag bundles from the reference sweep scripts
+# (run_multiplication_experiments_fixed_cluster.sh:14-20)
+EXPERIMENT_BUNDLES = {
+    "BCSR_reord": dict(force_fixed_size=True, blocking_algo=5, multiplication_algo=6),
+    "BCSR_no_reord": dict(force_fixed_size=True, blocking_algo=2, multiplication_algo=6),
+    "CSR": dict(multiplication_algo=2),
+    "GEMM": dict(multiplication_algo=1),
+    "BELLPACK_no_block": dict(force_fixed_size=True, blocking_algo=2,
+                              multiplication_algo=3),
+    "BELLPACK_blocked": dict(force_fixed_size=True, blocking_algo=5,
+                             multiplication_algo=3),
+    "PALLAS_blocked": dict(force_fixed_size=True, blocking_algo=5,
+                           multiplication_algo=8),
+}
+
+
+def config_hash(cfg: Config) -> str:
+    payload = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)
+               if f.name not in ("outfile", "verbose")}
+    return hashlib.sha1(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def run_sweep(
+    matrices: list[str],
+    grid: dict,
+    out_dir: str | Path,
+    base: Config | None = None,
+    resume: bool = True,
+    on_result=None,
+) -> list[dict]:
+    """grid: {field_name: [values...]}.  Returns result rows (loaded from
+    disk for skipped cells)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    results = []
+    keys = list(grid)
+    for matrix in matrices:
+        for combo in itertools.product(*(grid[k] for k in keys)):
+            cfg = dataclasses.replace(base or Config())
+            cfg.filename = str(matrix)
+            for k, v in zip(keys, combo):
+                setattr(cfg, k, v)
+            h = config_hash(cfg)
+            cell = out_dir / f"{Path(str(matrix)).stem}_{h}.json"
+            cfg.outfile = str(out_dir / f"{Path(str(matrix)).stem}_{h}.csv")
+            if resume and cell.exists():
+                results.append(json.loads(cell.read_text()))
+                continue
+            row = run_experiment(cfg)
+            row = {k: (v if not hasattr(v, "item") else v.item())
+                   for k, v in row.items()}
+            cell.write_text(json.dumps(row, default=float))
+            results.append(row)
+            if on_result:
+                on_result(row)
+    return results
+
+
+def collect_csvs(out_dir: str | Path, dest: str | Path) -> int:
+    """Concatenate per-run 2-line CSVs into one table (reference
+    collect_experiments.sh / utils/collect_*.sh)."""
+    out_dir = Path(out_dir)
+    rows = []
+    header = None
+    for f in sorted(out_dir.glob("*.csv")):
+        lines = f.read_text().strip().splitlines()
+        if len(lines) < 2:
+            continue
+        if header is None:
+            header = lines[0]
+        rows.append(lines[1])
+    if header is None:
+        return 0
+    Path(dest).write_text(header + "\n" + "\n".join(rows) + "\n")
+    return len(rows)

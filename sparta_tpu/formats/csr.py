@@ -191,6 +191,16 @@ class CSR:
         rng = np.random.default_rng(seed)
         return self.permute_rows(rng.permutation(self.rows))
 
+    def with_shape(self, shape: tuple[int, int]) -> "CSR":
+        """Grow the shape (pad with empty rows / wider column space)."""
+        rows, cols = shape
+        if rows < self.rows or cols < self.cols:
+            raise ValueError("with_shape cannot shrink")
+        indptr = np.concatenate(
+            (self.indptr, np.full(rows - self.rows, self.indptr[-1]))
+        )
+        return CSR(indptr.astype(np.int64), self.indices, self.data, (rows, cols))
+
     def symmetrized(self) -> "CSR":
         """Pattern union with the transpose (reference symmetrize path,
         csr.cpp:266-284; applies to pattern-only matrices)."""

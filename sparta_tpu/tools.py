@@ -1,0 +1,203 @@
+"""Companion tools — TPU-native equivalents of the reference's driver
+programs (SURVEY §2.5), as subcommands:
+
+  analyze     ≡ Matrix_Analysis   : score a grouping (own or external .g)
+  reorder     ≡ reorder_matrix    : tau sweep -> save reordered matrix
+  similarity  ≡ TEST_similarities : distance functions on a row pair
+  blocking    ≡ Matrix_Blocking   : blocking-only experiment (CSV + .g)
+  sweep                           : grid sweep with skip-if-exists resume
+  collect     ≡ collect_experiments.sh : concatenate per-run CSVs
+  plot                            : blocking-quality / SpMM-time figures
+
+Usage: python -m sparta_tpu.tools <subcommand> [args]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def cmd_analyze(args):
+    """Score a (possibly external) grouping: reorder, fixed-block, print the
+    4 stats (reference Matrix_Analysis.cpp:36-99, used to score
+    METIS/PaToH/CLUBS orderings)."""
+    from .definitions import BlockingType
+    from .formats import read_grouping, read_matrix
+    from .reorder import BlockingEngine
+
+    m = read_matrix(args.matrix)
+    if args.grouping:
+        g = read_grouping(args.grouping, expected_rows=m.rows)
+        if args.symmetric:
+            if m.rows != m.cols:  # 2d reorder needs a square matrix
+                n = max(m.rows, m.cols)
+                m = m.with_shape((n, n))
+                if g.size < n:  # padding rows become their own groups
+                    extra = g.max() + 1 + np.arange(n - g.size)
+                    g = np.concatenate((g, extra))
+            m = m.reorder2d(g)
+        else:
+            m = m.reorder(g)
+    eng = BlockingEngine(
+        col_block_size=args.block_size, row_block_size=args.block_size,
+        blocking_algo=BlockingType.fixed_size,
+    )
+    eng.get_grouping(m)
+    eng.collect_blocking_info(m)
+    print(f"{eng.VBR_nzcount} {eng.VBR_nzblocks_count} "
+          f"{eng.VBR_average_height} {eng.VBR_longest_row}")
+
+
+def cmd_reorder(args):
+    """Tau sweep; save the best reordered matrix and grouping
+    (reference reorder_matrix.cpp:17-57)."""
+    from .bench.tau import search_tau
+    from .formats import read_matrix, write_grouping
+
+    m = read_matrix(args.matrix, pattern_only=args.pattern_only)
+    res = search_tau(
+        m, args.block_size, args.block_size,
+        taus=[float(t) for t in args.taus.split(",")],
+        force_fixed_size=not args.variable,
+    )
+    print(f"best tau: {res.best_tau}  nzblocks {res.natural_nzblocks} -> "
+          f"{res.nzblocks}")
+    stem = Path(args.matrix)
+    if res.grouping is not None:
+        write_grouping(args.out or f"{stem.stem}.g", res.grouping)
+        reordered = m.reorder(res.grouping)
+        out_el = args.out_matrix or f"{stem.stem}_reordered.el"
+        reordered.save_to_edgelist(out_el)
+        print(f"saved {out_el}")
+
+
+def cmd_similarity(args):
+    """All four distance functions on a row pair
+    (reference TEST_similarities.cpp:14-36)."""
+    from .definitions import SimMeasure
+    from .formats import read_matrix
+    from .reorder import distance_pair
+    from .reorder.signatures import block_signatures
+
+    m = read_matrix(args.matrix)
+    sigs = block_signatures(m, args.block_size)
+    i, j = args.row_a, args.row_b
+    ea = int(m.row_nnz[i])
+    eb = int(m.row_nnz[j])
+    for meas in SimMeasure:
+        d = distance_pair(meas, sigs[i], sigs[j], elems_a=ea, elems_b=eb)
+        print(f"{meas.name:12s}: {d:.6f}")
+
+
+def cmd_blocking(args):
+    """Blocking-only experiment (reference Matrix_Blocking.cpp)."""
+    from .cli import main as cli_main
+
+    cli_main([
+        "-f", args.matrix, "-o", args.out, "-a", str(args.algo),
+        "-t", str(args.tau), "-b", str(args.block_size),
+        "-B", str(args.block_size), "-M", "0",
+        "-F", "1" if args.force_fixed else "0", "-v", str(args.verbose),
+    ])
+
+
+def cmd_sweep(args):
+    from .bench.sweep import run_sweep
+    from .cli import Config
+
+    spec = json.loads(Path(args.spec).read_text())
+    base = Config()
+    for k, v in spec.get("base", {}).items():
+        setattr(base, k, v)
+    results = run_sweep(
+        spec["matrices"], spec["grid"], args.out_dir, base=base,
+        resume=not args.no_resume,
+    )
+    print(f"{len(results)} experiments complete")
+
+
+def cmd_collect(args):
+    from .bench.sweep import collect_csvs
+
+    n = collect_csvs(args.out_dir, args.dest)
+    print(f"collected {n} rows -> {args.dest}")
+
+
+def cmd_plot(args):
+    from .bench.plots import load_results, plot_blocking_quality, plot_spmm_times
+
+    df = load_results(args.csv)
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    plot_blocking_quality(df, out / "blocking_quality.png")
+    plot_spmm_times(df, out / "spmm_times.png")
+    print(f"wrote plots to {out}")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="sparta_tpu.tools", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("analyze", help="score a grouping (Matrix_Analysis)")
+    a.add_argument("matrix")
+    a.add_argument("block_size", type=int)
+    a.add_argument("grouping", nargs="?", default=None)
+    a.add_argument("--symmetric", action="store_true")
+    a.set_defaults(fn=cmd_analyze)
+
+    r = sub.add_parser("reorder", help="tau sweep + save reordered matrix")
+    r.add_argument("matrix")
+    r.add_argument("--block-size", type=int, default=128)
+    r.add_argument("--taus", default="0.9,0.7,0.5,0.3,0.2,0.1,0.05,0.01")
+    r.add_argument("--variable", action="store_true")
+    r.add_argument("--pattern-only", action="store_true")
+    r.add_argument("--out", default=None)
+    r.add_argument("--out-matrix", default=None)
+    r.set_defaults(fn=cmd_reorder)
+
+    s = sub.add_parser("similarity", help="distances on a row pair")
+    s.add_argument("matrix")
+    s.add_argument("row_a", type=int)
+    s.add_argument("row_b", type=int)
+    s.add_argument("--block-size", type=int, default=3)
+    s.set_defaults(fn=cmd_similarity)
+
+    b = sub.add_parser("blocking", help="blocking-only experiment")
+    b.add_argument("matrix")
+    b.add_argument("--out", default="results/blocking.csv")
+    b.add_argument("--algo", type=int, default=3)
+    b.add_argument("--tau", type=float, default=0.1)
+    b.add_argument("--block-size", type=int, default=128)
+    b.add_argument("--force-fixed", action="store_true")
+    b.add_argument("--verbose", type=int, default=1)
+    b.set_defaults(fn=cmd_blocking)
+
+    w = sub.add_parser("sweep", help="grid sweep (resumable)")
+    w.add_argument("spec", help="JSON: {matrices: [...], grid: {...}, base: {...}}")
+    w.add_argument("--out-dir", default="results/sweep")
+    w.add_argument("--no-resume", action="store_true")
+    w.set_defaults(fn=cmd_sweep)
+
+    c = sub.add_parser("collect", help="concatenate per-run CSVs")
+    c.add_argument("out_dir")
+    c.add_argument("dest")
+    c.set_defaults(fn=cmd_collect)
+
+    pl = sub.add_parser("plot", help="render analysis figures")
+    pl.add_argument("csv")
+    pl.add_argument("--out-dir", default="results/plots")
+    pl.set_defaults(fn=cmd_plot)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Tools/sweep/plots layer tests."""
+import json
+
+import numpy as np
+import pytest
+
+from sparta_tpu.bench.sweep import collect_csvs, config_hash, run_sweep
+from sparta_tpu.cli import Config
+from sparta_tpu.formats import random_block_csr, write_grouping
+from sparta_tpu.tools import main as tools_main
+
+
+@pytest.fixture(scope="module")
+def matrix_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("tools") / "m.el"
+    random_block_csr(96, 96, block=16, block_density=0.3, seed=5).save_to_edgelist(p)
+    return str(p)
+
+
+def test_analyze_matches_engine(matrix_file, capsys):
+    tools_main(["analyze", matrix_file, "16"])
+    out = capsys.readouterr().out.split()
+    assert len(out) == 4 and int(out[0]) > 0
+
+
+def test_analyze_external_grouping(matrix_file, tmp_path, capsys):
+    from sparta_tpu.formats import read_matrix
+
+    rows = read_matrix(matrix_file).rows
+    g = np.random.default_rng(0).integers(0, 6, rows)
+    gf = tmp_path / "ext.g"
+    write_grouping(gf, g)
+    tools_main(["analyze", matrix_file, "16", str(gf)])
+    n1 = int(capsys.readouterr().out.split()[0])
+    tools_main(["analyze", matrix_file, "16", str(gf), "--symmetric"])
+    n2 = int(capsys.readouterr().out.split()[0])
+    assert n1 > 0 and n2 > 0
+
+
+def test_reorder_tool(matrix_file, tmp_path, capsys):
+    tools_main(["reorder", matrix_file, "--block-size", "16",
+                "--taus", "0.5,0.2", "--out", str(tmp_path / "g.g"),
+                "--out-matrix", str(tmp_path / "r.el")])
+    out = capsys.readouterr().out
+    assert "best tau" in out
+    assert (tmp_path / "g.g").exists() and (tmp_path / "r.el").exists()
+
+
+def test_similarity_tool(matrix_file, capsys):
+    tools_main(["similarity", matrix_file, "0", "1", "--block-size", "16"])
+    out = capsys.readouterr().out
+    assert "jaccard" in out and "hamming_alt" in out
+
+
+def test_sweep_resume(matrix_file, tmp_path):
+    grid = {"tau": [0.3, 0.6], "blocking_algo": [2, 3]}
+    base = Config(multiplication_algo=0, row_block_size=16, col_block_size=16,
+                  verbose=0)
+    r1 = run_sweep([matrix_file], grid, tmp_path / "sw", base=base)
+    assert len(r1) == 4
+    # resume: all cells cached, results identical
+    r2 = run_sweep([matrix_file], grid, tmp_path / "sw", base=base)
+    assert [round(x["VBR_nzcount"]) for x in r1] == [
+        round(x["VBR_nzcount"]) for x in r2
+    ]
+    n = collect_csvs(tmp_path / "sw", tmp_path / "all.csv")
+    assert n == 4
+
+
+def test_config_hash_stability():
+    c1, c2 = Config(tau=0.3), Config(tau=0.3)
+    assert config_hash(c1) == config_hash(c2)
+    assert config_hash(Config(tau=0.4)) != config_hash(c1)
+
+
+def test_plots(matrix_file, tmp_path):
+    grid = {"tau": [0.3, 0.6], "blocking_algo": [2, 3],
+            "multiplication_algo": [0]}
+    base = Config(row_block_size=16, col_block_size=16, verbose=0)
+    run_sweep([matrix_file], grid, tmp_path / "sw", base=base)
+    collect_csvs(tmp_path / "sw", tmp_path / "all.csv")
+    tools_main(["plot", str(tmp_path / "all.csv"), "--out-dir", str(tmp_path / "im")])
+    assert (tmp_path / "im" / "blocking_quality.png").exists()
+    assert (tmp_path / "im" / "spmm_times.png").exists()
+
+
+def test_derived_metrics():
+    from sparta_tpu.bench.plots import add_derived_metrics, load_results
+    import pandas as pd
+
+    df = pd.DataFrame({
+        "matrix": ["m", "m"], "rows": [100, 100], "cols": [100, 100],
+        "nonzeros": [500, 500], "VBR_nzcount": [5000, 2500],
+        "blocking_algo": [2, 5], "row_block_size": [16, 16],
+        "col_block_size": [16, 16], "b_cols": [64, 64],
+        "avg_time_multiply": [1.0, 0.5],
+    })
+    out = add_derived_metrics(df)
+    assert out["density"].iloc[0] == pytest.approx(0.05)
+    assert out["block_density"].iloc[1] == pytest.approx(0.2)
+    assert out["relative_dense_amp"].iloc[1] == pytest.approx(2.0)
