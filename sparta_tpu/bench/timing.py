@@ -79,8 +79,9 @@ def time_op(
         tb = run(n_big)
         times.append((tb - ts) / (n_big - n_small))
     times = np.asarray(times)
-    # differential timing can go non-positive under noise for ~us ops
-    return max(float(times.mean()), 1e-9), float(times.std()), None
+    # median: robust to tunnel hiccups polluting individual measurements;
+    # clamp because differential timing can go non-positive for ~us ops
+    return max(float(np.median(times)), 1e-9), float(times.std()), None
 
 
 def time_fn_once(fn: Callable, *args) -> tuple[float, object]:

@@ -245,15 +245,28 @@ def read_edgelist(
     + 1, cols = max column index + 1.  ``symmetrize`` adds the transpose
     pattern when the input is upper/lower triangular (pattern-only inputs).
     """
-    text = Path(path).read_text()
-    lines = [ln for ln in text.splitlines() if ln and ln[0] not in "#%"]
-    if not lines:
+    r = c = v = None
+    try:
+        from . import native_io
+
+        if native_io.available():
+            r, c, w, has_w3 = native_io.parse_edgelist(path)
+            v = w.astype(DATA) if (has_w3 and not pattern_only) else None
+    except (RuntimeError, FileNotFoundError):
+        pass
+    if r is None:  # numpy fallback
+        text = Path(path).read_text()
+        lines = [ln for ln in text.splitlines() if ln and ln[0] not in "#%"]
+        if not lines:
+            return CSR(np.zeros(1, dtype=np.int64), np.zeros(0, dtype=INT),
+                       None, (0, 0))
+        arr = np.loadtxt(_io.StringIO("\n".join(lines)), dtype=np.float64, ndmin=2)
+        r = arr[:, 0].astype(np.int64)
+        c = arr[:, 1].astype(np.int64)
+        has_w = arr.shape[1] > 2 and not pattern_only
+        v = arr[:, 2].astype(DATA) if has_w else None
+    if r.size == 0:
         return CSR(np.zeros(1, dtype=np.int64), np.zeros(0, dtype=INT), None, (0, 0))
-    arr = np.loadtxt(_io.StringIO("\n".join(lines)), dtype=np.float64, ndmin=2)
-    r = arr[:, 0].astype(np.int64)
-    c = arr[:, 1].astype(np.int64)
-    has_w = arr.shape[1] > 2 and not pattern_only
-    v = arr[:, 2].astype(DATA) if has_w else None
     rows = int(r.max()) + 1
     cols = int(c.max()) + 1
     if symmetrize:

@@ -67,6 +67,10 @@ def cmd_reorder(args):
     print(f"best tau: {res.best_tau}  nzblocks {res.natural_nzblocks} -> "
           f"{res.nzblocks}")
     stem = Path(args.matrix)
+    if res.grouping is None:
+        # tau = -1 sentinel: natural blocking wins, nothing to save
+        # (reference collect_taus.py:38-43 semantics)
+        print("natural blocking is best; no reordered matrix saved")
     if res.grouping is not None:
         write_grouping(args.out or f"{stem.stem}.g", res.grouping)
         reordered = m.reorder(res.grouping)

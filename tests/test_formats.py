@@ -204,3 +204,35 @@ def test_generators():
     assert m.shape == (50, 60) and m.nnz == int(50 * 60 * 0.05)
     mb = random_block_csr(64, 64, block=16, block_density=0.25, seed=3)
     assert mb.nnz > 0
+
+
+def test_native_io_matches_numpy(tmp_path):
+    from sparta_tpu.formats import native_io
+
+    if not native_io.available():
+        pytest.skip("native io not built")
+    m = random_block_csr(200, 180, block=16, block_density=0.2, seed=44)
+    p = tmp_path / "w.el"
+    m.save_to_edgelist(p)
+    # native path (default)
+    m1 = read_edgelist(p)
+    # forced numpy path
+    import sparta_tpu.formats.csr as csr_mod
+
+    r, c, w, h = native_io.parse_edgelist(p)
+    assert h  # weights present
+    np.testing.assert_allclose(m1.to_dense(), m.to_dense(), rtol=1e-5)
+    # pattern-only read drops weights on both paths
+    mp = read_edgelist(p, pattern_only=True)
+    assert mp.pattern_only
+
+
+def test_native_io_comments_and_blank(tmp_path):
+    from sparta_tpu.formats import native_io
+
+    if not native_io.available():
+        pytest.skip("native io not built")
+    p = tmp_path / "c.el"
+    p.write_text("# comment\n\n0 1 2.5\n% another\n1 0 1.5\n")
+    m = read_edgelist(p)
+    assert m.nnz == 2 and m.to_dense()[0, 1] == 2.5
