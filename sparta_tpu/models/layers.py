@@ -19,8 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..definitions import ceil_div
-from ..ops.bell_xla import bell_spmm_xla
-from ..ops.device import BellDevice
+from ..ops.autodiff import bell_spmm
 
 
 def make_block_mask(
@@ -82,8 +81,13 @@ class BlockSparseLinear:
         K = ceil_div(self.in_dim, self.block) * self.block
         if x2.shape[1] < K:
             x2 = jnp.pad(x2, ((0, 0), (0, K - x2.shape[1])))
-        dev = BellDevice(self.cols_idx, self.nb_row, params["vals"].astype(x.dtype))
-        y = bell_spmm_xla(dev, x2.T).T[:, : self.out_dim]
+        # custom-VJP SpMM: Pallas forward on TPU, XLA backward; padding
+        # blocks get exactly-zero gradients so pruned weights stay pruned
+        use_pallas = jax.default_backend() == "tpu"
+        y = bell_spmm(
+            self.cols_idx, self.nb_row, params["vals"].astype(x.dtype),
+            use_pallas, x2.T,
+        ).T[:, : self.out_dim]
         if self.use_bias:
             y = y + params["bias"].astype(y.dtype)
         return y.reshape(*lead, self.out_dim)

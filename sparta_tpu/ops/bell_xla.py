@@ -31,11 +31,14 @@ def bell_spmm_xla(bell: BellDevice, B: jax.Array, accum_dtype=jnp.float32) -> ja
     N = B.shape[1]
     Bt = B.reshape(-1, bw, N)  # [nbc, bw, N]
     safe_idx = jnp.maximum(bell.cols_idx, 0)  # [nbr, max_nb]
+    # mask padding entries: their stored values are zero, but masking also
+    # keeps gradients w.r.t. padding values at zero under autodiff
+    valid = (bell.cols_idx >= 0).astype(bell.vals.dtype)
 
     def step(acc, k):
         stripes = Bt[safe_idx[:, k]]  # [nbr, bw, N] gather
         prod = jax.lax.dot_general(
-            bell.vals[:, k],
+            bell.vals[:, k] * valid[:, k, None, None],
             stripes,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=accum_dtype,
