@@ -99,3 +99,52 @@ def test_derived_metrics():
     assert out["density"].iloc[0] == pytest.approx(0.05)
     assert out["block_density"].iloc[1] == pytest.approx(0.2)
     assert out["relative_dense_amp"].iloc[1] == pytest.approx(2.0)
+
+
+def test_blocking_cache(matrix_file, tmp_path):
+    from sparta_tpu.bench.cache import cached_grouping
+    from sparta_tpu.definitions import BlockingType
+    from sparta_tpu.formats import read_matrix
+    from sparta_tpu.reorder import BlockingEngine
+
+    m = read_matrix(matrix_file)
+    e1 = BlockingEngine(tau=0.4, col_block_size=16, row_block_size=16,
+                        blocking_algo=BlockingType.iterative_clocked)
+    g1 = cached_grouping(m, e1, tmp_path / "cache")
+    assert e1.merge_counter > 0
+    # second engine: cache hit restores grouping + counters without running
+    e2 = BlockingEngine(tau=0.4, col_block_size=16, row_block_size=16,
+                        blocking_algo=BlockingType.iterative_clocked)
+    g2 = cached_grouping(m, e2, tmp_path / "cache")
+    np.testing.assert_array_equal(g1, g2)
+    assert e2.merge_counter == e1.merge_counter
+    # different tau -> different cache cell
+    e3 = BlockingEngine(tau=0.9, col_block_size=16, row_block_size=16,
+                        blocking_algo=BlockingType.iterative_clocked)
+    g3 = cached_grouping(m, e3, tmp_path / "cache")
+    assert len(list((tmp_path / "cache").glob("*.npz"))) == 2
+
+
+def test_profiling_subsystem():
+    from sparta_tpu.profiling import PhaseTimer, annotate
+
+    t = PhaseTimer()
+    with t.phase("compare"):
+        with annotate("sparta_compare"):
+            sum(range(1000))
+    with t.phase("compare"):
+        pass
+    assert t.us("compare") > 0
+
+
+def test_synthetic_suite():
+    from sparta_tpu.datasets import banded_csr, synthetic_suite
+
+    suite = synthetic_suite("small")
+    assert set(suite) == {"uniform_sparse", "uniform_denser", "blocked_shuffled",
+                          "banded", "rmat"}
+    for name, m in suite.items():
+        assert m.nnz > 0, name
+    b = banded_csr(64, 4, density=1.0)
+    d = b.to_dense()
+    assert d[0, 10] == 0 and d[10, 10] != 0
