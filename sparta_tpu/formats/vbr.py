@@ -133,6 +133,22 @@ def partition_check(part: np.ndarray, rows: int) -> int:
     return 0
 
 
+def vbr_from_csr_partition(
+    cmat: CSR, row_partition: np.ndarray, col_block_size: int
+) -> VBR:
+    """Build a VBR from an explicit row partition WITHOUT permuting rows
+    (reference VBR::fill_from_CSR, vbr.cpp:239-321): block-row k covers
+    original rows row_partition[k]..row_partition[k+1]."""
+    part = np.asarray(row_partition)
+    if partition_check(part, cmat.rows) != 0:
+        raise ValueError("invalid row partition")
+    # identity permutation; grouping implied by the partition
+    grouping = np.zeros(cmat.rows, dtype=np.int64)
+    for k in range(part.size - 1):
+        grouping[part[k] : part[k + 1]] = k
+    return vbr_from_csr(cmat, grouping, col_block_size)
+
+
 def vbr_from_csr(
     cmat: CSR,
     grouping: np.ndarray | None = None,

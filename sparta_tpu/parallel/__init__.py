@@ -19,3 +19,10 @@ __all__ = [
     "spmm_rowsharded",
     "split_bell_cols",
 ]
+from .multihost import (  # noqa: E402
+    initialize_multihost,
+    partitioned_reorder,
+    row_range_for_host,
+)
+
+__all__ += ["initialize_multihost", "partitioned_reorder", "row_range_for_host"]

@@ -92,3 +92,35 @@ def test_scaling_consistency(problem, mesh):
                           jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "x")))
     C2 = np.asarray(spmm_ring(dev, Bcol, mesh))
     np.testing.assert_allclose(C1, C2[: C1.shape[0]], rtol=1e-5, atol=1e-5)
+
+
+def test_partitioned_reorder():
+    from sparta_tpu.definitions import BlockingType
+    from sparta_tpu.formats import random_block_csr, bell_from_csr
+    from sparta_tpu.parallel import partitioned_reorder
+    from sparta_tpu.reorder import BlockingEngine
+    from sparta_tpu.utils import get_fixed_size_grouping, get_partition
+
+    m = random_block_csr(256, 256, block=16, block_density=0.15,
+                         intra_density=0.5, seed=9)
+    eng = BlockingEngine(tau=0.4, col_block_size=16, row_block_size=16,
+                         blocking_algo=BlockingType.iterative_clocked,
+                         backend="numpy")
+    g = partitioned_reorder(m, eng, n_parts=4)
+    # every row grouped; parts stay in order (ids strictly increase by part)
+    assert (g >= 0).all()
+    part_of_row = np.repeat(np.arange(4), 64)
+    order = np.argsort(g, kind="stable")
+    assert np.all(np.diff(part_of_row[order]) >= 0)
+    # grouping is usable downstream
+    bell = bell_from_csr(m, get_fixed_size_grouping(g, 16), block_row_size=16)
+    assert bell.total_nzblocks > 0
+
+
+def test_vbr_from_partition():
+    from sparta_tpu.formats import random_uniform_csr
+    from sparta_tpu.formats.vbr import vbr_from_csr_partition
+
+    m = random_uniform_csr(30, 30, 0.1, seed=2)
+    v = vbr_from_csr_partition(m, np.array([0, 7, 15, 30]), col_block_size=8)
+    np.testing.assert_allclose(v.to_dense_permuted()[:30, :30], m.to_dense())
