@@ -44,6 +44,7 @@ class BlockingType(enum.IntEnum):
     iterative_queue = 4       # queue variant (blocking.cpp:245-338)
     iterative_max_size = 5    # capped block height + keeper top-up (blocking.cpp:433-549)
     scramble = 6              # random permutation baseline (blocking.cpp:565-574)
+    hash_greedy = 7           # NEW: signature dedup + greedy over uniques (ours)
 
 
 class SimMeasure(enum.IntEnum):

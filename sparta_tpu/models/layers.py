@@ -58,6 +58,53 @@ class BlockSparseLinear:
         return cls(out_dim, in_dim, block, jnp.asarray(cols), jnp.asarray(nb),
                    use_bias)
 
+    @classmethod
+    def from_dense(cls, W, block=128, block_density=0.15, bias=None,
+                   per_row: bool = True):
+        """Prune a dense weight [out_dim, in_dim] to block-sparse by block
+        Frobenius norm (the 'pruned BERT-style weight matrices' path of the
+        north star).  Returns (layer, params).
+
+        per_row=True keeps the same number of blocks in every block-row
+        (balanced, MXU-friendly); False keeps the global top-k blocks.
+        """
+        W = np.asarray(W, dtype=np.float32)
+        out_dim, in_dim = W.shape
+        nbr, nbc = ceil_div(out_dim, block), ceil_div(in_dim, block)
+        Wp = np.zeros((nbr * block, nbc * block), dtype=np.float32)
+        Wp[:out_dim, :in_dim] = W
+        norms = np.linalg.norm(
+            Wp.reshape(nbr, block, nbc, block).transpose(0, 2, 1, 3),
+            axis=(2, 3),
+        )  # [nbr, nbc]
+        if per_row:
+            keep = max(1, round(nbc * block_density))
+            cols = np.sort(np.argsort(-norms, axis=1)[:, :keep], axis=1).astype(np.int32)
+            nb_row = np.full(nbr, keep, dtype=np.int32)
+            max_nb = keep
+        else:
+            k = max(1, round(nbr * nbc * block_density))
+            flat = np.argsort(-norms.ravel())[:k]
+            br, bc = flat // nbc, flat % nbc
+            nb_row = np.bincount(br, minlength=nbr).astype(np.int32)
+            max_nb = max(int(nb_row.max()), 1)
+            cols = np.full((nbr, max_nb), -1, dtype=np.int32)
+            for r in range(nbr):
+                sel = np.sort(bc[br == r])
+                cols[r, : sel.size] = sel
+        vals = np.zeros((nbr, max_nb, block, block), dtype=np.float32)
+        for r in range(nbr):
+            for t in range(int(nb_row[r])):
+                jb = cols[r, t]
+                vals[r, t] = Wp[r * block:(r + 1) * block,
+                                jb * block:(jb + 1) * block]
+        layer = cls(out_dim, in_dim, block, jnp.asarray(cols),
+                    jnp.asarray(nb_row), use_bias=bias is not None)
+        params = {"vals": jnp.asarray(vals)}
+        if bias is not None:
+            params["bias"] = jnp.asarray(bias, dtype=jnp.float32)
+        return layer, params
+
     @property
     def max_nb(self) -> int:
         return self.cols_idx.shape[1]

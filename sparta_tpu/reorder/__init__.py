@@ -2,6 +2,7 @@ from .algos import (
     BlockingStats,
     fixed_blocking,
     greedy_blocking,
+    hash_greedy_blocking,
     scramble_blocking,
     structured_blocking,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "distance_pattern_vs_rows",
     "fixed_blocking",
     "greedy_blocking",
+    "hash_greedy_blocking",
     "popcount",
     "scramble_blocking",
     "structured_blocking",

@@ -332,6 +332,78 @@ def structured_blocking(
     return grouping
 
 
+def hash_greedy_blocking(
+    cmat: CSR,
+    tau: float,
+    measure: SimMeasure | int,
+    col_block_size: int,
+    max_size: int | None = None,
+    stats: BlockingStats | None = None,
+) -> np.ndarray:
+    """NEW (beyond the reference): signature-dedup + greedy over uniques.
+
+    Rows with IDENTICAL block signatures always belong together — group them
+    in O(rows) by hashing the packed signature, then run the greedy
+    seed-and-sweep only over the unique signatures, weighting each by its
+    multiplicity (the use_groups semantics).  Complexity drops from
+    O(rows^2) to O(uniques^2); on matrices with recoverable block structure
+    uniques << rows.  Output grouping ids follow the greedy result expanded
+    back through the dedup map.
+    """
+    stats = stats if stats is not None else BlockingStats()
+    rows = cmat.rows
+    if rows == 0:
+        return np.zeros(0, dtype=np.int64)
+    sigs = block_signatures(cmat, col_block_size)
+    # dedup by signature bytes
+    view = sigs.view(np.uint8).reshape(rows, -1)
+    uniq, first_idx, inverse = np.unique(
+        view, axis=0, return_index=True, return_inverse=True
+    )
+    inverse = inverse.reshape(rows)
+    # representative rows, in first-appearance order for determinism
+    order = np.argsort(first_idx, kind="stable")
+    rep_rows = first_idx[order]
+    remap = np.empty(uniq.shape[0], dtype=np.int64)
+    remap[order] = np.arange(uniq.shape[0])
+    inverse = remap[inverse]
+
+    rep = CSR(
+        indptr=np.concatenate(
+            ([0], np.cumsum(cmat.row_nnz[rep_rows]))
+        ).astype(np.int64),
+        indices=np.concatenate(
+            [cmat.indices[cmat.indptr[r] : cmat.indptr[r + 1]] for r in rep_rows]
+        ) if rep_rows.size else np.zeros(0, dtype=cmat.indices.dtype),
+        data=None,
+        shape=(rep_rows.size, cmat.cols),
+    )
+    g_rep = None
+    try:  # prefer the native engine for the greedy stage
+        from . import native
+
+        if native.available():
+            g_rep = native.greedy_blocking(
+                rep, tau, int(SimMeasure(measure)), col_block_size,
+                use_groups=True, use_pattern=True, strict_less=False,
+                prune=True, stats=stats,
+            )
+    except ImportError:
+        pass
+    if g_rep is None:
+        g_rep = greedy_blocking(
+            rep, tau, measure, col_block_size,
+            use_groups=True, use_pattern=True, strict_less=False, prune=True,
+            max_size=None, keeper=False, stats=stats,
+        )
+    grouping = g_rep[inverse]
+    if max_size is not None:
+        from ..utils import get_fixed_size_grouping
+
+        grouping = get_fixed_size_grouping(grouping, max_size)
+    return grouping
+
+
 def fixed_blocking(rows: int, row_block_size: int) -> np.ndarray:
     """Algo 2: natural fixed-size blocking (blocking.cpp:554-562)."""
     return np.arange(rows, dtype=np.int64) // row_block_size

@@ -19,6 +19,7 @@ from .algos import (
     BlockingStats,
     fixed_blocking,
     greedy_blocking,
+    hash_greedy_blocking,
     scramble_blocking,
     structured_blocking,
 )
@@ -120,6 +121,11 @@ class BlockingEngine:
                 cmat, self.tau, self.sim_measure, self.col_block_size,
                 use_groups=self.use_groups, use_pattern=self.use_pattern,
                 structured_m=self.structured_m, structured_n=self.structured_n,
+                stats=stats,
+            )
+        elif algo == BlockingType.hash_greedy:
+            grouping = hash_greedy_blocking(
+                cmat, self.tau, self.sim_measure, self.col_block_size,
                 stats=stats,
             )
         elif algo == BlockingType.fixed_size:

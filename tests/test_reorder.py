@@ -210,3 +210,35 @@ def test_force_fixed_size_groups():
     g = eng.get_grouping(m)
     heights = np.diff(get_partition(g))
     assert np.all(heights[:-1] == 8) and heights[-1] <= 8
+
+
+def test_hash_greedy_recovers_planted_blocks():
+    from sparta_tpu.formats import random_block_csr
+    from sparta_tpu.reorder import hash_greedy_blocking
+    import time
+
+    m = random_block_csr(2048, 2048, block=64, block_density=0.06,
+                         intra_density=0.4, seed=13)
+    t0 = time.perf_counter()
+    g = hash_greedy_blocking(m, 0.3, SimMeasure.jaccard, 64)
+    t_hash = time.perf_counter() - t0
+    eng = BlockingEngine(tau=0.3, col_block_size=64, row_block_size=64,
+                         blocking_algo=BlockingType.hash_greedy, backend="numpy")
+    eng.get_grouping(m)
+    info = eng.collect_blocking_info(m)
+    nat = BlockingEngine(tau=0, col_block_size=64, row_block_size=64,
+                         blocking_algo=BlockingType.fixed_size, backend="numpy")
+    nat.get_grouping(m)
+    nat_info = nat.collect_blocking_info(m)
+    # must recover (nearly) the planted structure
+    assert info["VBR_nzcount"] < nat_info["VBR_nzcount"] / 2
+
+
+def test_hash_greedy_groups_identical_rows():
+    m = csr_from_rows([[0, 1], [4, 5], [0, 1], [4, 5], [0, 1]], ncols=8)
+    from sparta_tpu.reorder import hash_greedy_blocking
+
+    g = hash_greedy_blocking(m, 0.01, SimMeasure.jaccard, 2)
+    assert g[0] == g[2] == g[4]
+    assert g[1] == g[3]
+    assert g[0] != g[1]
