@@ -88,3 +88,30 @@ def test_sharded_train_step():
         params, opt_state, tokens_s = init_sharded(jax.random.key(1), tokens)
         params, opt_state, loss = step(params, opt_state, tokens_s)
         assert np.isfinite(float(loss))
+
+
+def test_from_dense_block_pruning():
+    rng = np.random.default_rng(4)
+    W = rng.standard_normal((96, 64)).astype(np.float32) * 0.01
+    # plant strong blocks
+    W[0:32, 0:32] += 5.0
+    W[64:96, 32:64] += 5.0
+    layer, params = BlockSparseLinear.from_dense(W, block=32, block_density=0.5)
+    x = rng.standard_normal((4, 64)).astype(np.float32)
+    y = np.asarray(layer.apply(params, jnp.asarray(x)))
+    # kept blocks must include the planted ones
+    cols = np.asarray(layer.cols_idx)
+    assert 0 in cols[0] and 1 in cols[2]
+    # output approximates dense product (dominated by planted blocks)
+    y_ref = x @ W.T
+    corr = np.corrcoef(y.ravel(), y_ref.ravel())[0, 1]
+    assert corr > 0.99
+
+
+def test_from_dense_global_topk():
+    rng = np.random.default_rng(5)
+    W = rng.standard_normal((64, 64)).astype(np.float32)
+    layer, params = BlockSparseLinear.from_dense(W, block=16, block_density=0.25,
+                                                 per_row=False)
+    total = int(np.asarray(layer.nb_row).sum())
+    assert total == round(16 * 0.25)
