@@ -115,3 +115,17 @@ def test_from_dense_global_topk():
                                                  per_row=False)
     total = int(np.asarray(layer.nb_row).sum())
     assert total == round(16 * 0.25)
+
+
+def test_checkpoint_roundtrip(tmp_path, model):
+    from sparta_tpu.models.checkpoint import load_params, save_params
+
+    params = model.init(jax.random.key(1))
+    save_params(tmp_path / "ckpt.npz", params, model=model)
+    restored = load_params(tmp_path / "ckpt.npz", like=params)
+    tokens = jax.random.randint(jax.random.key(2), (2, 16), 0, CFG.vocab)
+    y1 = np.asarray(model.apply(params, tokens))
+    y2 = np.asarray(model.apply(restored, tokens))
+    np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-5)
+    assert (tmp_path / "ckpt.npz.structure.npz").exists()
+    assert (tmp_path / "ckpt.npz.meta.json").exists()
