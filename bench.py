@@ -101,6 +101,14 @@ def main():
     tn = 512 if N % 512 == 0 else 256 if N % 256 == 0 else 128
     bench("bell_pallas", lambda b: bell_spmm_pallas(dev, b, tn=tn), B, flops)
 
+    # compact CSR-of-blocks kernel (fastest at moderate density: B column
+    # tile resident in VMEM, no ELL padding in the vals stream)
+    from sparta_tpu.ops import BellCompactDevice, bell_spmm_pallas_compact
+
+    cdev = BellCompactDevice.from_host(bell, dtype=dtype)
+    bench("bell_compact",
+          lambda b: bell_spmm_pallas_compact(cdev, b, tn=tn), B, flops)
+
     bcoo = csr_to_bcoo(m, dtype=dtype)
     Bc = B[: m.cols]
     bench("csr_bcoo", lambda b: bcoo_spmm(bcoo, b), Bc, 2 * m.nnz * N)
