@@ -88,14 +88,32 @@ def main():
     flops = 2 * bell.total_nzblocks * block * block * N
     results = {}
 
+    def wait_device(max_wait=600):
+        """The tunnel/worker drops intermittently; probe until it's back."""
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < max_wait:
+            try:
+                x = jnp.ones((256, 256))
+                float((x @ x)[0, 0])
+                return True
+            except Exception:  # noqa: BLE001
+                time.sleep(20)
+        return False
+
     def bench(name, fn, Bx, fl):
-        try:
-            avg, std, _ = time_op(fn, Bx, warmup=1, reps=reps, inner_iters=inner or None)
-            results[name] = avg
-            log(f"{name:16s}: {avg*1e3:9.3f} ms  ({fl/avg/1e12:6.2f} TFLOP/s eff, "
-                f"std {std*1e3:.3f})")
-        except Exception as e:  # noqa: BLE001 — record and continue
-            log(f"{name:16s}: FAILED {type(e).__name__}: {e}")
+        for attempt in range(3):
+            try:
+                avg, std, _ = time_op(fn, Bx, warmup=1, reps=reps,
+                                      inner_iters=inner or None)
+                results[name] = avg
+                log(f"{name:16s}: {avg*1e3:9.3f} ms  ({fl/avg/1e12:6.2f} "
+                    f"TFLOP/s eff, std {std*1e3:.3f})")
+                return
+            except Exception as e:  # noqa: BLE001 — record and continue
+                log(f"{name:16s}: attempt {attempt+1} FAILED "
+                    f"{type(e).__name__}: {e}")
+                if attempt < 2 and not wait_device():
+                    break
 
     bench("bell_xla", lambda b: bell_spmm_xla(dev, b), B, flops)
     tn = 512 if N % 512 == 0 else 256 if N % 256 == 0 else 128
@@ -113,7 +131,15 @@ def main():
     Bc = B[: m.cols]
     bench("csr_bcoo", lambda b: bcoo_spmm(bcoo, b), Bc, 2 * m.nnz * N)
 
-    blocked = min(v for k, v in results.items() if k.startswith("bell"))
+    bell_times = [v for k, v in results.items() if k.startswith("bell")]
+    if not bell_times:
+        print(json.dumps({
+            "metric": "reordered_blocked_spmm_speedup_vs_csr",
+            "value": 0.0, "unit": "x", "vs_baseline": 0.0,
+            "error": "all blocked kernels failed (device unavailable)",
+        }), flush=True)
+        return
+    blocked = min(bell_times)
     csr = results.get("csr_bcoo")
     if csr is None:
         log("CSR baseline failed; reporting blocked nnz/s only")

@@ -31,8 +31,13 @@ def make_timed_loop(fn: Callable):
     def loop(B, n):
         def body(_, carry):
             C = fn(carry)
+            # depend on a FULL reduction of C: reading a single element
+            # would let XLA slice the computation down to the one value
+            # actually used (e.g. a [M,K]@[K,N] matmul becomes one dot
+            # product) and time a fraction of the op
             eps = jnp.asarray(1e-38, dtype=carry.dtype)
-            return carry * (1 + eps * C[(0,) * C.ndim].astype(carry.dtype))
+            chk = jnp.mean(C.astype(jnp.float32)).astype(carry.dtype)
+            return carry * (1 + eps * chk)
 
         return jax.lax.fori_loop(0, n, body, B, unroll=False)
 
@@ -79,26 +84,29 @@ def time_op(
         n_big = int(np.clip(target_time / per, 64, 20000))
     n_small = max(n_big // 8, 1)
 
-    def measure() -> np.ndarray:
-        times = []
-        for _ in range(reps):
-            ts = run(n_small)
-            tb = run(n_big)
-            times.append((tb - ts) / (n_big - n_small))
-        return np.asarray(times)
+    def measure() -> tuple[float, np.ndarray]:
+        # tunnel noise is purely ADDITIVE (a hiccup can only inflate a
+        # wall-clock measurement), so min() over repeats converges on the
+        # true time for each depth; the difference of minima is far more
+        # robust than the median of per-pair differences
+        ts = [run(n_small) for _ in range(reps)]
+        tb = [run(n_big) for _ in range(reps)]
+        per = (min(tb) - min(ts)) / (n_big - n_small)
+        pairs = np.asarray(
+            [(b - s) / (n_big - n_small) for s, b in zip(ts, tb)]
+        )
+        return per, pairs
 
-    times = measure()
-    # median: robust to tunnel hiccups polluting individual measurements.
-    # A non-positive median means the shallow run was systematically slower
-    # than the deep one — pure noise; deepen the loop and remeasure rather
-    # than report a bogus ~0 time.
+    per, pairs = measure()
+    # a non-positive estimate means even the minima are noise-dominated;
+    # deepen the loop and remeasure rather than report a bogus ~0 time
     for _ in range(2):
-        if np.median(times) > 0:
+        if per > 0:
             break
         n_big = min(n_big * 8, 200000)
         n_small = max(n_big // 8, 1)
-        times = measure()
-    return max(float(np.median(times)), 1e-9), float(times.std()), None
+        per, pairs = measure()
+    return max(float(per), 1e-9), float(pairs.std()), None
 
 
 def time_fn_once(fn: Callable, *args) -> tuple[float, object]:
