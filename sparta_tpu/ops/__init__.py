@@ -1,4 +1,9 @@
-from .bell_compact import BellCompactDevice, bell_spmm_pallas_compact
+from .bell_compact import (
+    BellCompactDevice,
+    bell_spmm_pallas_compact,
+    bell_spmm_pallas_compact_chunked,
+    bell_spmm_pallas_compact_multirow,
+)
 from .bell_pallas import (
     bell_spmm_pallas,
     bell_spmm_pallas_auto,
@@ -19,6 +24,8 @@ __all__ = [
     "bell_spmm_pallas_auto",
     "bell_spmm_pallas_bcache",
     "bell_spmm_pallas_compact",
+    "bell_spmm_pallas_compact_chunked",
+    "bell_spmm_pallas_compact_multirow",
     "bell_spmm_xla",
     "bell_spmm_xla_ba",
     "bell_spmm_xla_unrolled",

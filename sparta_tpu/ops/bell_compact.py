@@ -78,6 +78,39 @@ class BellCompactDevice:
             vals_flat=jnp.asarray(vals, dtype=dtype),
         )
 
+    def pad_blocks(self, extra: int) -> "BellCompactDevice":
+        """Append ``extra`` zero blocks to the flat vals/cols streams so
+        chunked DMAs may safely overrun past the last row's blocks."""
+        if extra <= 0:
+            return self
+        cols = np.concatenate(
+            [np.asarray(self.cols_flat), np.zeros(extra, dtype=np.int32)]
+        )
+        v = self.vals_flat
+        vals = jnp.concatenate(
+            [v, jnp.zeros((extra,) + v.shape[1:], dtype=v.dtype)]
+        )
+        return BellCompactDevice(
+            row_ptr=self.row_ptr,
+            cols_flat=jnp.asarray(cols),
+            vals_flat=vals,
+        )
+
+    def pad_rows(self, multiple: int) -> "BellCompactDevice":
+        """Append empty block-rows until n_block_rows % multiple == 0
+        (for the multirow kernel); padding rows produce zero output rows."""
+        nbr = self.n_block_rows
+        pad = (-nbr) % multiple
+        if pad == 0:
+            return self
+        rp = np.asarray(self.row_ptr)
+        rp = np.concatenate([rp, np.full(pad, rp[-1], dtype=rp.dtype)])
+        return BellCompactDevice(
+            row_ptr=jnp.asarray(rp),
+            cols_flat=self.cols_flat,
+            vals_flat=self.vals_flat,
+        )
+
 
 def _kernel(
     row_ptr_ref,   # int32 [nbr+1] (SMEM)
@@ -177,6 +210,278 @@ def bell_spmm_pallas_compact(
                 pltpu.VMEM((bh, tn), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * total * bh * bw * N,
+            bytes_accessed=(
+                K * N * B.dtype.itemsize
+                + (N // tn) * total * bh * bw * bell.vals_flat.dtype.itemsize
+                + nbr * bh * N * jnp.dtype(out_dtype).itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bell.row_ptr, bell.cols_flat, bell.vals_flat, B)
+
+
+def _kernel_multirow(
+    row_ptr_ref,   # int32 [nbr+1] (SMEM)
+    cols_ref,      # int32 [nzblocks] (SMEM)
+    vals_hbm,      # [nzblocks, bh, bw] (HBM)
+    b_hbm,         # [K, N] (HBM)
+    out_ref,       # [R*bh, tn] (VMEM)
+    b_tile,        # [K, tn] persistent VMEM scratch
+    vbuf,          # [2, bh, bw] VMEM
+    acc_ref,       # [bh, tn] fp32
+    bsem,          # DMA sem
+    vsems,         # DMA sems (2,)
+    *,
+    bw: int,
+    tn: int,
+    rows: int,
+):
+    """Compact kernel, ``rows`` block-rows per grid step (amortizes the
+    fixed per-step cost across R rows; measured neutral-to-slower on v5e at
+    the headline shape — step overhead is NOT the bottleneck there — kept
+    for shapes with many near-empty block-rows)."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            b_hbm.at[:, pl.ds(j * tn, tn)], b_tile, bsem
+        )
+        cp.start()
+        cp.wait()
+
+    for r in range(rows):  # static unroll
+        start = row_ptr_ref[i * rows + r]
+        nb = row_ptr_ref[i * rows + r + 1] - start
+
+        def vdma(k, slot, start=start):
+            return pltpu.make_async_copy(
+                vals_hbm.at[start + k], vbuf.at[slot], vsems.at[slot]
+            )
+
+        @pl.when(nb > 0)
+        def _(vdma=vdma):
+            vdma(0, 0).start()
+
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def body(k, _, vdma=vdma, nb=nb, start=start):
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(k + 1 < nb)
+            def _():
+                vdma(k + 1, jax.lax.rem(k + 1, 2)).start()
+
+            vdma(k, slot).wait()
+            jb = cols_ref[start + k]
+            acc_ref[...] += jax.lax.dot(
+                vbuf[slot],
+                b_tile[pl.ds(jb * bw, bw), :],
+                preferred_element_type=jnp.float32,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, nb, body, 0)
+        bh = acc_ref.shape[0]
+        out_ref[r * bh:(r + 1) * bh, :] = acc_ref[...].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tn", "rows_per_step", "out_dtype", "interpret")
+)
+def bell_spmm_pallas_compact_multirow(
+    bell: BellCompactDevice,
+    B: jax.Array,
+    tn: int = 512,
+    rows_per_step: int = 4,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Compact kernel with ``rows_per_step`` block-rows per grid step.
+
+    Requires n_block_rows % rows_per_step == 0 (pad with empty block-rows
+    via ``BellCompactDevice.pad_rows``)."""
+    total, bh, bw = bell.vals_flat.shape
+    nbr = bell.n_block_rows
+    K, N = B.shape
+    R = rows_per_step
+    if N % tn:
+        raise ValueError(f"N={N} not a multiple of tile {tn}")
+    if nbr % R:
+        raise ValueError(f"n_block_rows={nbr} not a multiple of {R}")
+    out_dtype = out_dtype or B.dtype
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    kernel = functools.partial(_kernel_multirow, bw=bw, tn=tn, rows=R)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(N // tn, nbr // R),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (R * bh, tn), lambda j, i, *_: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((K, tn), B.dtype),
+                pltpu.VMEM((2, bh, bw), bell.vals_flat.dtype),
+                pltpu.VMEM((bh, tn), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * total * bh * bw * N,
+            bytes_accessed=(
+                K * N * B.dtype.itemsize
+                + (N // tn) * total * bh * bw * bell.vals_flat.dtype.itemsize
+                + nbr * bh * N * jnp.dtype(out_dtype).itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bell.row_ptr, bell.cols_flat, bell.vals_flat, B)
+
+
+def _kernel_chunked(
+    row_ptr_ref,   # int32 [nbr+1] (SMEM)
+    cols_ref,      # int32 [nzblocks+pad] (SMEM)
+    vals_hbm,      # [nzblocks+pad, bh, bw] (HBM)
+    b_hbm,         # [K, N] (HBM)
+    out_ref,       # [bh, tn] (VMEM)
+    b_tile,        # [K, tn] persistent VMEM scratch
+    vbuf,          # [nslots, chunk, bh, bw] VMEM
+    acc_ref,       # [bh, tn] fp32
+    bsem,          # DMA sem
+    vsems,         # DMA sems (nslots,)
+    *,
+    bw: int,
+    tn: int,
+    chunk: int,
+    nslots: int,
+):
+    """Compact kernel with CHUNKED vals DMA: ``chunk`` blocks per copy and
+    an ``nslots``-deep pipeline (fewer, larger copies; measured ~5% faster
+    at the headline shape with chunk=2). The vals/cols streams must carry
+    ``chunk*nslots`` safety blocks (BellCompactDevice.pad_blocks) because
+    a row's last chunk may overrun into the next row's blocks (fetched but
+    never used)."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            b_hbm.at[:, pl.ds(j * tn, tn)], b_tile, bsem
+        )
+        cp.start()
+        cp.wait()
+
+    start = row_ptr_ref[i]
+    nb = row_ptr_ref[i + 1] - start
+    nchunks = (nb + chunk - 1) // chunk
+
+    def vdma(c, slot):
+        return pltpu.make_async_copy(
+            vals_hbm.at[pl.ds(start + c * chunk, chunk)],
+            vbuf.at[slot],
+            vsems.at[slot],
+        )
+
+    for s in range(nslots - 1):  # prime the pipeline
+        @pl.when(s < nchunks)
+        def _(s=s):
+            vdma(s, s).start()
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(c, _):
+        slot = jax.lax.rem(c, nslots)
+
+        @pl.when(c + (nslots - 1) < nchunks)
+        def _():
+            vdma(c + (nslots - 1),
+                 jax.lax.rem(c + (nslots - 1), nslots)).start()
+
+        vdma(c, slot).wait()
+        for k in range(chunk):  # static unroll over the chunk
+            t = c * chunk + k
+
+            @pl.when(t < nb)
+            def _(t=t, k=k):
+                jb = cols_ref[start + t]
+                acc_ref[...] += jax.lax.dot(
+                    vbuf[slot, k],
+                    b_tile[pl.ds(jb * bw, bw), :],
+                    preferred_element_type=jnp.float32,
+                )
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+    out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tn", "chunk", "nslots", "out_dtype", "interpret"),
+)
+def bell_spmm_pallas_compact_chunked(
+    bell: BellCompactDevice,
+    B: jax.Array,
+    tn: int = 512,
+    chunk: int = 2,
+    nslots: int = 2,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Compact kernel, chunked vals DMA. ``bell`` must carry at least
+    ``chunk * nslots`` safety padding blocks (see pad_blocks)."""
+    total, bh, bw = bell.vals_flat.shape
+    nbr = bell.n_block_rows
+    K, N = B.shape
+    if N % tn:
+        raise ValueError(f"N={N} not a multiple of tile {tn}")
+    out_dtype = out_dtype or B.dtype
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    kernel = functools.partial(
+        _kernel_chunked, bw=bw, tn=tn, chunk=chunk, nslots=nslots
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(N // tn, nbr),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (bh, tn), lambda j, i, *_: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((K, tn), B.dtype),
+                pltpu.VMEM((nslots, chunk, bh, bw), bell.vals_flat.dtype),
+                pltpu.VMEM((bh, tn), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((nslots,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),

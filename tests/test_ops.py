@@ -127,3 +127,75 @@ def test_bf16_matched_accuracy(problem):
     err = np.abs(np.asarray(C, dtype=np.float32)[: m.rows] - C_ref)
     rel = err.max() / (np.abs(C_ref).max() + 1e-9)
     assert rel < 1e-2
+
+
+def test_bell_spmm_compact(problem):
+    from sparta_tpu.ops import BellCompactDevice, bell_spmm_pallas_compact
+
+    m, bell, B, C_ref = problem
+    dev = BellCompactDevice.from_host(bell)
+    C = np.asarray(bell_spmm_pallas_compact(dev, jnp.asarray(B), tn=32))
+    np.testing.assert_allclose(C[: m.rows], C_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_bell_spmm_bcache(problem):
+    from sparta_tpu.ops import bell_spmm_pallas_bcache
+
+    m, bell, B, C_ref = problem
+    dev = BellDevice.from_host(bell)
+    C = np.asarray(bell_spmm_pallas_bcache(dev, jnp.asarray(B), tn=32))
+    np.testing.assert_allclose(C[: m.rows], C_ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("rows_per_step", [1, 2, 4])
+def test_bell_spmm_compact_multirow(problem, rows_per_step):
+    from sparta_tpu.ops import (
+        BellCompactDevice,
+        bell_spmm_pallas_compact_multirow,
+    )
+
+    m, bell, B, C_ref = problem
+    dev = BellCompactDevice.from_host(bell).pad_rows(rows_per_step)
+    C = np.asarray(
+        bell_spmm_pallas_compact_multirow(
+            dev, jnp.asarray(B), tn=32, rows_per_step=rows_per_step
+        )
+    )
+    np.testing.assert_allclose(C[: m.rows], C_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_bell_spmm_compact_multirow_padded_rows():
+    """Padding block-rows (from pad_rows) must produce zero output rows."""
+    from sparta_tpu.ops import (
+        BellCompactDevice,
+        bell_spmm_pallas_compact_multirow,
+    )
+
+    m = random_block_csr(80, 80, block=8, block_density=0.3, intra_density=0.7,
+                         seed=11)
+    bell = bell_from_csr(m, np.arange(80) // 8, block_row_size=8)
+    dev = BellCompactDevice.from_host(bell).pad_rows(4)  # 10 -> 12 rows
+    B = np.random.default_rng(1).standard_normal((80, 32)).astype(np.float32)
+    C = np.asarray(
+        bell_spmm_pallas_compact_multirow(dev, jnp.asarray(B), tn=32,
+                                          rows_per_step=4)
+    )
+    np.testing.assert_allclose(C[:80], m.to_scipy() @ B, rtol=1e-5, atol=1e-5)
+    assert np.all(C[80:] == 0)
+
+
+@pytest.mark.parametrize("chunk,nslots", [(2, 2), (4, 2), (4, 4)])
+def test_bell_spmm_compact_chunked(problem, chunk, nslots):
+    from sparta_tpu.ops import (
+        BellCompactDevice,
+        bell_spmm_pallas_compact_chunked,
+    )
+
+    m, bell, B, C_ref = problem
+    dev = BellCompactDevice.from_host(bell).pad_blocks(chunk * nslots)
+    C = np.asarray(
+        bell_spmm_pallas_compact_chunked(
+            dev, jnp.asarray(B), tn=32, chunk=chunk, nslots=nslots
+        )
+    )
+    np.testing.assert_allclose(C[: m.rows], C_ref, rtol=1e-5, atol=1e-5)
