@@ -119,13 +119,26 @@ def main():
     tn = 512 if N % 512 == 0 else 256 if N % 256 == 0 else 128
     bench("bell_pallas", lambda b: bell_spmm_pallas(dev, b, tn=tn), B, flops)
 
-    # compact CSR-of-blocks kernel (fastest at moderate density: B column
-    # tile resident in VMEM, no ELL padding in the vals stream)
-    from sparta_tpu.ops import BellCompactDevice, bell_spmm_pallas_compact
+    # compact CSR-of-blocks kernels (B column tile resident in VMEM); the
+    # unrolled variant pads each row's block count to a chunk multiple so
+    # the inner loop runs guard-free static dots (fastest on v5e)
+    from sparta_tpu.ops import (
+        BellCompactDevice,
+        bell_spmm_pallas_compact,
+        bell_spmm_pallas_compact_unrolled,
+        compact_auto_chunk,
+        compact_from_host_padded,
+    )
 
     cdev = BellCompactDevice.from_host(bell, dtype=dtype)
     bench("bell_compact",
           lambda b: bell_spmm_pallas_compact(cdev, b, tn=tn), B, flops)
+    chunk = compact_auto_chunk(bell.nb_row)
+    cpad = compact_from_host_padded(bell, chunk, dtype=dtype)
+    bench("bell_unrolled",
+          lambda b: bell_spmm_pallas_compact_unrolled(cpad, b, tn=tn,
+                                                      chunk=chunk),
+          B, flops)
 
     bcoo = csr_to_bcoo(m, dtype=dtype)
     Bc = B[: m.cols]

@@ -3,6 +3,9 @@ from .bell_compact import (
     bell_spmm_pallas_compact,
     bell_spmm_pallas_compact_chunked,
     bell_spmm_pallas_compact_multirow,
+    bell_spmm_pallas_compact_unrolled,
+    compact_auto_chunk,
+    compact_from_host_padded,
 )
 from .bell_pallas import (
     bell_spmm_pallas,
@@ -26,6 +29,9 @@ __all__ = [
     "bell_spmm_pallas_compact",
     "bell_spmm_pallas_compact_chunked",
     "bell_spmm_pallas_compact_multirow",
+    "bell_spmm_pallas_compact_unrolled",
+    "compact_from_host_padded",
+    "compact_auto_chunk",
     "bell_spmm_xla",
     "bell_spmm_xla_ba",
     "bell_spmm_xla_unrolled",

@@ -499,3 +499,172 @@ def bell_spmm_pallas_compact_chunked(
         ),
         interpret=interpret,
     )(bell.row_ptr, bell.cols_flat, bell.vals_flat, B)
+
+
+def compact_from_host_padded(
+    bell: BELL, chunk: int, dtype=jnp.float32
+) -> BellCompactDevice:
+    """CSR-of-blocks with every row's block count padded UP to a multiple
+    of ``chunk`` with explicit zero blocks (block-col 0, zero values).
+
+    Zero blocks contribute nothing to the product, so the unrolled kernel
+    can run ``chunk`` UNGUARDED dots per loop iteration — on v5e the
+    per-iteration scalar overhead of ``fori_loop`` (~115ns) and a
+    ``pl.when`` guard (~90ns) each cost as much as a 128x128x512 dot
+    (~93ns), so guard-free unrolling is the difference between ~50% and
+    ~85% of peak in the inner loop. Average fill-in is (chunk-1)/2 blocks
+    per block-row."""
+    nb = bell.nb_row.astype(np.int64)
+    nb_pad = (nb + chunk - 1) // chunk * chunk
+    row_ptr = np.concatenate(([0], np.cumsum(nb_pad))).astype(np.int32)
+    total = int(row_ptr[-1])
+    cols = np.zeros(total, dtype=np.int32)
+    vals = np.zeros((max(total, 1), bell.block_row_size, bell.block_col_size),
+                    dtype=np.float32)
+    for i in range(bell.n_block_rows):
+        n = int(nb[i])
+        cols[row_ptr[i] : row_ptr[i] + n] = bell.cols_idx[i, :n]
+        vals[row_ptr[i] : row_ptr[i] + n] = bell.vals[i, :n]
+    return BellCompactDevice(
+        row_ptr=jnp.asarray(row_ptr),
+        cols_flat=jnp.asarray(cols),
+        vals_flat=jnp.asarray(vals, dtype=dtype),
+    )
+
+
+def _kernel_unrolled(
+    row_ptr_ref,   # int32 [nbr+1] (SMEM), all counts multiples of chunk
+    cols_ref,      # int32 [total] (SMEM)
+    vals_hbm,      # [total, bh, bw] (HBM)
+    b_hbm,         # [K, N] (HBM)
+    out_ref,       # [bh, tn] (VMEM)
+    b_tile,        # [K, tn] persistent VMEM scratch
+    vbuf,          # [nslots, chunk, bh, bw] VMEM
+    acc_ref,       # [bh, tn] fp32
+    bsem,          # DMA sem
+    vsems,         # DMA sems (nslots,)
+    *,
+    bw: int,
+    tn: int,
+    chunk: int,
+    nslots: int,
+):
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            b_hbm.at[:, pl.ds(j * tn, tn)], b_tile, bsem
+        )
+        cp.start()
+        cp.wait()
+
+    start = row_ptr_ref[i]
+    nchunks = (row_ptr_ref[i + 1] - start) // chunk
+
+    def vdma(c, slot):
+        return pltpu.make_async_copy(
+            vals_hbm.at[pl.ds(start + c * chunk, chunk)],
+            vbuf.at[slot],
+            vsems.at[slot],
+        )
+
+    for s in range(nslots - 1):  # prime the pipeline
+        @pl.when(s < nchunks)
+        def _(s=s):
+            vdma(s, s).start()
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(c, _):
+        slot = jax.lax.rem(c, nslots)
+
+        @pl.when(c + (nslots - 1) < nchunks)
+        def _():
+            vdma(c + (nslots - 1),
+                 jax.lax.rem(c + (nslots - 1), nslots)).start()
+
+        vdma(c, slot).wait()
+        for k in range(chunk):  # static unroll, NO guards: rows are padded
+            jb = cols_ref[start + c * chunk + k]
+            acc_ref[...] += jax.lax.dot(
+                vbuf[slot, k],
+                b_tile[pl.ds(jb * bw, bw), :],
+                preferred_element_type=jnp.float32,
+            )
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+    out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tn", "chunk", "nslots", "out_dtype", "interpret")
+)
+def bell_spmm_pallas_compact_unrolled(
+    bell: BellCompactDevice,
+    B: jax.Array,
+    tn: int = 512,
+    chunk: int = 4,
+    nslots: int = 2,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Compact kernel, guard-free chunk-unrolled inner loop. ``bell`` must
+    come from ``compact_from_host_padded(bell, chunk)`` (every block-row's
+    count a multiple of ``chunk``)."""
+    total, bh, bw = bell.vals_flat.shape
+    nbr = bell.n_block_rows
+    K, N = B.shape
+    if N % tn:
+        raise ValueError(f"N={N} not a multiple of tile {tn}")
+    out_dtype = out_dtype or B.dtype
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    kernel = functools.partial(
+        _kernel_unrolled, bw=bw, tn=tn, chunk=chunk, nslots=nslots
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(N // tn, nbr),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (bh, tn), lambda j, i, *_: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((K, tn), B.dtype),
+                pltpu.VMEM((nslots, chunk, bh, bw), bell.vals_flat.dtype),
+                pltpu.VMEM((bh, tn), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((nslots,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * total * bh * bw * N,
+            bytes_accessed=(
+                K * N * B.dtype.itemsize
+                + (N // tn) * total * bh * bw * bell.vals_flat.dtype.itemsize
+                + nbr * bh * N * jnp.dtype(out_dtype).itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bell.row_ptr, bell.cols_flat, bell.vals_flat, B)
+
+
+def compact_auto_chunk(nb_row) -> int:
+    """Default unroll chunk for compact_from_host_padded: ~80% of the mean
+    blocks-per-row balances loop-overhead amortization against zero-block
+    fill-in (measured optimum c=5..8 at mean nb=6.4 on v5e)."""
+    mean = max(float(np.mean(np.asarray(nb_row))), 1.0)
+    return int(np.clip(round(mean * 0.8), 2, 8))

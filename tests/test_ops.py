@@ -199,3 +199,19 @@ def test_bell_spmm_compact_chunked(problem, chunk, nslots):
         )
     )
     np.testing.assert_allclose(C[: m.rows], C_ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("chunk", [1, 2, 4])
+def test_bell_spmm_compact_unrolled(problem, chunk):
+    from sparta_tpu.ops import (
+        bell_spmm_pallas_compact_unrolled,
+        compact_from_host_padded,
+    )
+
+    m, bell, B, C_ref = problem
+    dev = compact_from_host_padded(bell, chunk)
+    C = np.asarray(
+        bell_spmm_pallas_compact_unrolled(dev, jnp.asarray(B), tn=32,
+                                          chunk=chunk)
+    )
+    np.testing.assert_allclose(C[: m.rows], C_ref, rtol=1e-5, atol=1e-5)
