@@ -1,3 +1,4 @@
+from .gcn import GCN, GCNConfig, make_gcn_train_step, normalize_adjacency
 from .layers import BlockSparseLinear, make_block_mask
 from .train import lm_loss, make_sharded_train_step, make_train_step
 from .transformer import BlockSparseTransformer, TransformerConfig
@@ -5,6 +6,10 @@ from .transformer import BlockSparseTransformer, TransformerConfig
 __all__ = [
     "BlockSparseLinear",
     "BlockSparseTransformer",
+    "GCN",
+    "GCNConfig",
+    "make_gcn_train_step",
+    "normalize_adjacency",
     "TransformerConfig",
     "lm_loss",
     "make_block_mask",
