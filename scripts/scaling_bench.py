@@ -16,7 +16,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
+    import os
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the image's sitecustomize force-registers the TPU tunnel backend
+        # regardless of the env var; re-assert CPU before backend init
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P

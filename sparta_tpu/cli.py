@@ -100,6 +100,14 @@ def parse_args(argv=None) -> Config:
 
 
 def main(argv=None):
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the image's sitecustomize force-registers the TPU tunnel backend
+        # regardless of the env var; re-assert CPU before backend init
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from .bench.runner import run_experiment
 
     cfg = parse_args(argv)
