@@ -72,16 +72,16 @@ def time_op(
     if inner_iters:
         n_big = max(inner_iters, 2)
     else:
-        # calibrate twice and keep the smaller per-op estimate: a tunnel
-        # hiccup only ever inflates a measurement, so min() filters it
-        pers = []
-        for _ in range(2):
-            t8, t64 = run(8), run(64)
-            pers.append(max((t64 - t8) / 56, 1e-7))
-        per = min(pers)
-        # floor n_big at 64 so the deep/shallow difference covers enough
-        # device work to stand above the ~100ms tunnel jitter
-        n_big = int(np.clip(target_time / per, 64, 20000))
+        # progressive depth ladder: climb until one dispatch covers
+        # target_time of wall clock. This bounds the worst single dispatch
+        # at ~8x target_time — extrapolating a depth from a per-op estimate
+        # is unsafe (a noisy estimate of a slow op once produced a
+        # multi-minute dispatch, which the TPU worker watchdog kills).
+        n_big = 8
+        for n in (8, 64, 512, 4096, 20000):
+            n_big = n
+            if run(n) >= target_time:
+                break
     n_small = max(n_big // 8, 1)
 
     def measure() -> tuple[float, np.ndarray]:

@@ -2,6 +2,7 @@ from .bell_compact import (
     BellCompactDevice,
     bell_spmm_pallas_compact,
     bell_spmm_pallas_compact_chunked,
+    bell_spmm_pallas_compact_gather,
     bell_spmm_pallas_compact_multirow,
     bell_spmm_pallas_compact_unrolled,
     compact_auto_chunk,
@@ -28,6 +29,7 @@ __all__ = [
     "bell_spmm_pallas_bcache",
     "bell_spmm_pallas_compact",
     "bell_spmm_pallas_compact_chunked",
+    "bell_spmm_pallas_compact_gather",
     "bell_spmm_pallas_compact_multirow",
     "bell_spmm_pallas_compact_unrolled",
     "compact_from_host_padded",

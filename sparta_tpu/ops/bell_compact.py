@@ -668,3 +668,128 @@ def compact_auto_chunk(nb_row) -> int:
     fill-in (measured optimum c=5..8 at mean nb=6.4 on v5e)."""
     mean = max(float(np.mean(np.asarray(nb_row))), 1.0)
     return int(np.clip(round(mean * 0.8), 2, 8))
+
+
+def _kernel_gather(
+    row_ptr_ref,   # int32 [nbr+1] (SMEM)
+    cols_ref,      # int32 [total] (SMEM)
+    vals_hbm,      # [total, bh, bw] (HBM)
+    b_hbm,         # [K, N] (HBM)
+    out_ref,       # [bh, tn] (VMEM)
+    vbuf,          # [2, bh, bw] VMEM
+    bbuf,          # [2, bw, tn] VMEM
+    acc_ref,       # [bh, tn] fp32
+    vsems,         # DMA sems (2,)
+    bsems,         # DMA sems (2,)
+    *,
+    bw: int,
+    tn: int,
+):
+    """Compact vals + HBM-gathered B: the LARGE-matrix kernel.
+
+    Neither operand is VMEM-resident: per nonzero block, its values AND the
+    matching B row-stripe stream from HBM with paired double-buffered DMAs.
+    This is the only layout that works when K*tn exceeds VMEM (B tile can't
+    be resident) and the block-count distribution is heavy-tailed (ELL
+    padding of a power-law graph explodes), e.g. RMAT / social graphs."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    start = row_ptr_ref[i]
+    nb = row_ptr_ref[i + 1] - start
+
+    def vdma(k, slot):
+        return pltpu.make_async_copy(
+            vals_hbm.at[start + k], vbuf.at[slot], vsems.at[slot]
+        )
+
+    def bdma(k, slot):
+        jb = cols_ref[start + k]
+        return pltpu.make_async_copy(
+            b_hbm.at[pl.ds(jb * bw, bw), pl.ds(j * tn, tn)],
+            bbuf.at[slot],
+            bsems.at[slot],
+        )
+
+    @pl.when(nb > 0)
+    def _():
+        vdma(0, 0).start()
+        bdma(0, 0).start()
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(k, _):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < nb)
+        def _():
+            nslot = jax.lax.rem(k + 1, 2)
+            vdma(k + 1, nslot).start()
+            bdma(k + 1, nslot).start()
+
+        vdma(k, slot).wait()
+        bdma(k, slot).wait()
+        acc_ref[...] += jax.lax.dot(
+            vbuf[slot], bbuf[slot], preferred_element_type=jnp.float32
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nb, body, 0)
+    out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tn", "out_dtype", "interpret"))
+def bell_spmm_pallas_compact_gather(
+    bell: BellCompactDevice,
+    B: jax.Array,
+    tn: int = 512,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Large-matrix blocked SpMM: compact vals stream + HBM-gathered B.
+
+    Use when K*tn exceeds the VMEM budget (no resident B tile possible) or
+    the per-row block counts are heavy-tailed (ELL padding prohibitive)."""
+    total, bh, bw = bell.vals_flat.shape
+    nbr = bell.n_block_rows
+    K, N = B.shape
+    if N % tn:
+        raise ValueError(f"N={N} not a multiple of tile {tn}")
+    out_dtype = out_dtype or B.dtype
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    kernel = functools.partial(_kernel_gather, bw=bw, tn=tn)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nbr, N // tn),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (bh, tn), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, bh, bw), bell.vals_flat.dtype),
+                pltpu.VMEM((2, bw, tn), B.dtype),
+                pltpu.VMEM((bh, tn), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * total * bh * bw * N,
+            bytes_accessed=(
+                (N // tn) * total * (bh * bw + bw * tn)
+                * bell.vals_flat.dtype.itemsize
+                + nbr * bh * N * jnp.dtype(out_dtype).itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bell.row_ptr, bell.cols_flat, bell.vals_flat, B)

@@ -215,3 +215,49 @@ def test_bell_spmm_compact_unrolled(problem, chunk):
                                           chunk=chunk)
     )
     np.testing.assert_allclose(C[: m.rows], C_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_bell_spmm_compact_gather(problem):
+    from sparta_tpu.ops import (
+        BellCompactDevice,
+        bell_spmm_pallas_compact_gather,
+    )
+
+    m, bell, B, C_ref = problem
+    dev = BellCompactDevice.from_host(bell)
+    C = np.asarray(
+        bell_spmm_pallas_compact_gather(dev, jnp.asarray(B), tn=32)
+    )
+    np.testing.assert_allclose(C[: m.rows], C_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_bell_spmm_compact_gather_ragged():
+    """Heavy-tailed row block counts (the layout ELL can't afford)."""
+    from sparta_tpu.formats import BELL
+    from sparta_tpu.ops import (
+        BellCompactDevice,
+        bell_spmm_pallas_compact_gather,
+    )
+
+    rng = np.random.default_rng(4)
+    b, nbr, nbc = 8, 12, 12
+    nb_row = np.array([nbc, 1, 0, 2, 1, 1, 8, 1, 0, 1, 2, 1], dtype=np.int32)
+    max_nb = int(nb_row.max())
+    cols = np.full((nbr, max_nb), -1, dtype=np.int32)
+    vals = np.zeros((nbr, max_nb, b, b), dtype=np.float32)
+    dense = np.zeros((nbr * b, nbc * b), dtype=np.float32)
+    for r in range(nbr):
+        sel = np.sort(rng.choice(nbc, size=nb_row[r], replace=False))
+        cols[r, : sel.size] = sel
+        for t, jb in enumerate(sel):
+            blk = rng.standard_normal((b, b)).astype(np.float32)
+            vals[r, t] = blk
+            dense[r*b:(r+1)*b, jb*b:(jb+1)*b] = blk
+    bell = BELL(cols_idx=cols, nb_row=nb_row, vals=vals,
+                row_perm=np.arange(nbr * b), block_row_size=b,
+                block_col_size=b, shape=(nbr * b, nbc * b),
+                orig_shape=(nbr * b, nbc * b))
+    dev = BellCompactDevice.from_host(bell)
+    B = rng.standard_normal((nbc * b, 32)).astype(np.float32)
+    C = np.asarray(bell_spmm_pallas_compact_gather(dev, jnp.asarray(B), tn=32))
+    np.testing.assert_allclose(C, dense @ B, rtol=1e-5, atol=1e-5)
