@@ -176,44 +176,12 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
         )
 
     if algo in (MultiplicationAlgo.bell_pallas, MultiplicationAlgo.bell_pallas_batched):
-        from ..ops import (
-            bell_spmm_pallas_auto,
-            bell_spmm_pallas_compact_unrolled,
-            compact_auto_chunk,
-            compact_from_host_padded,
-        )
+        from ..ops import plan_spmm
 
         Np = round_up(N, 128)
         fl = 2 * bell.total_nzblocks * bell.block_row_size * bell.block_col_size * Np
-        K = bell.shape[1]
-        # Mosaic requires MXU-tileable blocks ((8,128)-aligned); smaller
-        # blocks run the XLA path (which handles any shape)
-        if bell.block_row_size % 8 or bell.block_col_size % 128:
-            return (
-                lambda B: bell_spmm_xla(dev, B),
-                (K, Np),
-                "bell_xla_fallback",
-                fl,
-            )
-        # the unrolled compact kernel is the fastest path when a B column
-        # tile fits VMEM (guard-free static inner dots, see bell_compact.py)
-        tn = cfg.tile_n or (512 if Np % 512 == 0 else 256 if Np % 256 == 0 else 128)
-        if K * tn * np.dtype(dtype).itemsize <= 12 * 2**20:
-            chunk = compact_auto_chunk(bell.nb_row)
-            cpad = compact_from_host_padded(bell, chunk, dtype=dtype)
-            return (
-                lambda B: bell_spmm_pallas_compact_unrolled(
-                    cpad, B, tn=tn, chunk=chunk),
-                (K, Np),
-                f"bell_pallas_unrolled_tn{tn}_c{chunk}",
-                fl,
-            )
-        return (
-            lambda B: bell_spmm_pallas_auto(dev, B),
-            (K, Np),
-            "bell_pallas_auto",
-            fl,
-        )
+        plan = plan_spmm(bell, Np, dtype=dtype, tile_n=cfg.tile_n or None)
+        return plan.fn, (bell.shape[1], Np), plan.backend, fl
 
     raise ValueError(f"no backend for multiplication algo {algo}")
 

@@ -16,6 +16,7 @@ from .bell_pallas import (
 from .bell_xla import bell_spmm_xla, bell_spmm_xla_ba, bell_spmm_xla_unrolled
 from .csr_spmm import EllDevice, bcoo_spmm, csr_to_bcoo, dense_matmul, ell_spmm
 from .device import BellDevice, pad_b_for_bell
+from .select import SpmmPlan, plan_spmm
 from .vbr_xla import VbrDevice, vbr_spmm_xla, vbr_spmm_xla_ba
 
 __all__ = [
@@ -41,6 +42,8 @@ __all__ = [
     "dense_matmul",
     "ell_spmm",
     "pad_b_for_bell",
+    "plan_spmm",
+    "SpmmPlan",
     "vbr_spmm_xla",
     "vbr_spmm_xla_ba",
 ]

@@ -261,3 +261,41 @@ def test_bell_spmm_compact_gather_ragged():
     B = rng.standard_normal((nbc * b, 32)).astype(np.float32)
     C = np.asarray(bell_spmm_pallas_compact_gather(dev, jnp.asarray(B), tn=32))
     np.testing.assert_allclose(C, dense @ B, rtol=1e-5, atol=1e-5)
+
+
+def test_plan_spmm_selection_and_correctness(problem):
+    from sparta_tpu.ops import plan_spmm
+
+    m, bell, B, C_ref = problem
+    # 8x8 blocks are not MXU-tileable -> XLA path
+    plan = plan_spmm(bell, 64)
+    assert plan.backend == "bell_xla"
+    C = np.asarray(plan(jnp.asarray(B[:, :64])))
+    np.testing.assert_allclose(C[: m.rows], C_ref[:, :64], rtol=1e-5, atol=1e-5)
+
+
+def test_plan_spmm_unrolled_and_gather_paths():
+    from sparta_tpu.formats import bell_from_csr, random_block_csr
+    from sparta_tpu.ops import pad_b_for_bell, plan_spmm
+
+    m = random_block_csr(512, 512, block=128, block_density=0.3,
+                         intra_density=0.3, seed=6)
+    bell = bell_from_csr(m, None, block_row_size=128)
+    B = np.random.default_rng(1).standard_normal((512, 128)).astype(np.float32)
+    C_ref = m.to_scipy() @ B
+
+    plan = plan_spmm(bell, 128)
+    assert "unrolled" in plan.backend, plan.backend
+    C = np.asarray(plan(jnp.asarray(pad_b_for_bell(B, bell))))
+    np.testing.assert_allclose(C[:512], C_ref, rtol=1e-4, atol=1e-4)
+
+    import sparta_tpu.ops.select as sel
+    old = sel.VMEM_BUDGET
+    try:
+        sel.VMEM_BUDGET = 1  # force the large-K path
+        plan = sel.plan_spmm(bell, 128)
+        assert "gather" in plan.backend, plan.backend
+        C = np.asarray(plan(jnp.asarray(pad_b_for_bell(B, bell))))
+        np.testing.assert_allclose(C[:512], C_ref, rtol=1e-4, atol=1e-4)
+    finally:
+        sel.VMEM_BUDGET = old
