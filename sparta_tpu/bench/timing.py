@@ -77,8 +77,8 @@ def time_op(
         # at ~8x target_time — extrapolating a depth from a per-op estimate
         # is unsafe (a noisy estimate of a slow op once produced a
         # multi-minute dispatch, which the TPU worker watchdog kills).
-        n_big = 8
-        for n in (8, 64, 512, 4096, 20000):
+        n_big = 2
+        for n in (2, 8, 64, 512, 4096, 20000):
             n_big = n
             if run(n) >= target_time:
                 break
