@@ -145,6 +145,49 @@ class BlockSparseLinear:
             self.out_dim * self.in_dim
         )
 
+    def freeze(self, params, batch_hint: int = 512, dtype=None):
+        """Inference-optimized apply: pack the trained weights into the
+        padded compact layout and pick the fastest kernel (ops.plan_spmm;
+        on v5e the guard-free unrolled kernel when a B tile fits VMEM).
+
+        Returns ``apply(x) -> y`` closed over the frozen weights. Training
+        keeps the ELL layout (the custom VJP's gradients are shaped like
+        ``params['vals']``); freeze once when weights stop changing."""
+        from ..formats.bell import BELL
+        from ..ops import plan_spmm
+
+        nbr = self.cols_idx.shape[0]
+        nbc = ceil_div(self.in_dim, self.block)
+        bell = BELL(
+            cols_idx=np.asarray(self.cols_idx),
+            vals=np.asarray(params["vals"], dtype=np.float32),
+            nb_row=np.asarray(self.nb_row),
+            row_perm=np.arange(nbr * self.block),
+            block_row_size=self.block,
+            block_col_size=self.block,
+            shape=(nbr * self.block, nbc * self.block),
+            orig_shape=(self.out_dim, self.in_dim),
+        )
+        plan = plan_spmm(bell, batch_hint, dtype=dtype or jnp.bfloat16)
+        bias = params.get("bias") if self.use_bias else None
+        K = nbc * self.block
+        out_dim = self.out_dim
+
+        def apply(x: jax.Array) -> jax.Array:
+            lead = x.shape[:-1]
+            x2 = x.reshape(-1, x.shape[-1])
+            if x2.shape[1] < K:
+                x2 = jnp.pad(x2, ((0, 0), (0, K - x2.shape[1])))
+            n = x2.shape[0]
+            n_pad = -(-n // plan.tn) * plan.tn
+            xt = jnp.zeros((K, n_pad), dtype=x2.dtype).at[:, :n].set(x2.T)
+            y = plan(xt)[:out_dim, :n].T
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y.reshape(*lead, out_dim)
+
+        return apply
+
 
 def dense_init(key, out_dim, in_dim) -> dict:
     return {

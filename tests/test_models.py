@@ -185,3 +185,18 @@ def test_gcn_train_step_reduces_loss():
     # random labels through a smoothing operator fit slowly; require a
     # clear monotone decrease, not a large one
     assert losses[-1] < losses[0] - 0.03, losses
+
+
+def test_freeze_matches_training_apply():
+    from sparta_tpu.models import BlockSparseLinear
+
+    layer = BlockSparseLinear.create(jax.random.key(3), 64, 48, block=8,
+                                     block_density=0.4)
+    params = layer.init(jax.random.key(4))
+    x = jnp.asarray(
+        np.random.default_rng(5).standard_normal((10, 48)).astype(np.float32)
+    )
+    y_train = np.asarray(layer.apply(params, x))
+    frozen = layer.freeze(params, batch_hint=16, dtype=jnp.float32)
+    y_frozen = np.asarray(frozen(x))
+    np.testing.assert_allclose(y_frozen, y_train, rtol=1e-4, atol=1e-4)
