@@ -159,6 +159,30 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
         return (lambda B: bell_spmm_xla(dev, B)), (bell.shape[1], N), "bell_xla", flops
 
     if algo in (MultiplicationAlgo.vbr_xla_inverted, MultiplicationAlgo.vbr_pallas_inverted):
+        # TPU-idiomatic inverted product: the reference computes C = B*A
+        # directly (one GemmEx per block, stream per block-column,
+        # cuda_utilities.cpp:553-721) because CUDA stream write-ordering
+        # made that layout natural. On TPU we compute (A^T B^T)^T through
+        # the fast forward kernel instead — same result, full MXU path.
+        if N % 128 == 0:
+            from ..formats.csr import CSR as _CSR
+            from ..ops import plan_spmm
+            from ..utils import get_permutation
+
+            m_r = m if grouping is None else m.permute_rows(
+                get_permutation(get_fixed_size_grouping(grouping, cfg.row_block_size)))
+            mt = _CSR.from_scipy(m_r.to_scipy().T.tocsr())
+            bell_t = bell_from_csr(mt, None,
+                                   block_row_size=cfg.col_block_size,
+                                   block_col_size=cfg.row_block_size)
+            tn = cfg.tile_n or next(t for t in (512, 256, 128) if N % t == 0)
+            plan = plan_spmm(bell_t, N, dtype=dtype, tile_n=tn)
+            return (
+                lambda B: plan(B.T).T,
+                (N, bell_t.shape[1]),
+                f"ba_transposed_{plan.backend}",
+                flops,
+            )
         nbc = bell.n_block_cols
         return (
             lambda B: bell_spmm_xla_ba(dev, B, n_block_cols=nbc),

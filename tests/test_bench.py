@@ -102,3 +102,33 @@ def test_variable_height_vbr_backends(matrix_file, tmp_path, m_algo):
     row = run_experiment(cfg)
     assert row["backend"].startswith("vbr_xla")
     assert row["avg_time_multiply"] > 0
+
+
+def test_inverted_transposed_backend_matches_oracle(tmp_path):
+    """-M 6 (C=B*A) via the transpose trick == scipy oracle."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from sparta_tpu.bench.runner import make_backend
+    from sparta_tpu.cli import Config
+    from sparta_tpu.formats.csr import random_block_csr
+    from sparta_tpu.reorder import BlockingEngine
+    from sparta_tpu.utils import get_fixed_size_grouping, get_permutation
+
+    m = random_block_csr(96, 96, block=8, block_density=0.3,
+                         intra_density=0.6, seed=13)
+    cfg = Config(multiplication_algo=6, force_fixed_size=True,
+                 blocking_algo=5, row_block_size=8, col_block_size=8,
+                 b_cols=128, tau=0.5, dtype="float32")
+    eng = BlockingEngine.from_config(cfg)
+    eng.get_grouping(m)
+    fn, b_shape, name, _ = make_backend(cfg, m, eng)
+    assert name.startswith("ba_transposed"), name
+    B = np.random.default_rng(7).standard_normal(b_shape).astype(np.float32)
+    C = np.asarray(fn(jnp.asarray(B)))
+    g = get_fixed_size_grouping(eng.grouping_result, 8)
+    perm = get_permutation(g)
+    A_r = m.permute_rows(perm).to_scipy()
+    C_ref = B[:, : m.rows] @ A_r
+    np.testing.assert_allclose(C[:, : m.cols], C_ref, rtol=1e-4, atol=1e-4)
