@@ -176,7 +176,9 @@ def bell_spmm_pallas_auto(
     tiles = [t for t in (1024, 512, 256, 128, 64, 32) if N % t == 0] or [N]
     for tn in tiles:
         vals_row = bell.max_nb * bell.block_row_size * bell.block_col_size
-        need = K * tn * item + 2 * vals_row * bell.vals.dtype.itemsize \
+        # the B tile rides a BlockSpec, so Pallas double-buffers it: count
+        # it twice (a single-count estimate OOM'd scoped vmem at K*tn=10.5MB)
+        need = 2 * K * tn * item + 2 * vals_row * bell.vals.dtype.itemsize \
             + 3 * bell.block_row_size * tn * 4
         if need <= VMEM_BUDGET:
             return bell_spmm_pallas_bcache(bell, B, tn=tn, out_dtype=out_dtype,
