@@ -32,3 +32,41 @@ def test_int8_roundtrip_quantization():
         np.abs(np.asarray(dev.vals)).max() + 1e-9
     )
     assert rel < 1e-2
+
+
+def test_int8_unrolled_matches_xla_int8():
+    """Pallas int8 unrolled kernel == XLA int8 path (same quantized math)."""
+    import jax.numpy as jnp
+
+    from sparta_tpu.formats import bell_from_csr, random_block_csr
+    from sparta_tpu.ops import BellDevice
+    from sparta_tpu.ops.quant import (
+        QBellCompactDevice,
+        QBellDevice,
+        bell_spmm_int8,
+        bell_spmm_int8_unrolled,
+        quantize_b,
+    )
+
+    m = random_block_csr(128, 128, block=8, block_density=0.3,
+                         intra_density=0.6, seed=21)
+    bell = bell_from_csr(m, None, block_row_size=8)
+    B = np.random.default_rng(2).standard_normal((128, 32)).astype(np.float32)
+
+    qd = QBellDevice.from_bell(BellDevice.from_host(bell))
+    Bq, bscale = quantize_b(jnp.asarray(B), 8)
+    C_xla = np.asarray(bell_spmm_int8(qd, Bq, bscale))
+
+    qc = QBellCompactDevice.from_bell(bell, chunk=2)
+    C_pl = np.asarray(
+        bell_spmm_int8_unrolled(
+            qc, jnp.asarray(Bq).reshape(-1, 32), bscale, tn=32, chunk=2
+        )
+    )
+    np.testing.assert_allclose(C_pl[: m.rows], C_xla[: m.rows],
+                               rtol=1e-5, atol=1e-5)
+
+    # and both approximate the fp32 truth within int8 quantization error
+    C_ref = m.to_scipy() @ B
+    rel = np.abs(C_pl[: m.rows] - C_ref).max() / (np.abs(C_ref).max() + 1e-9)
+    assert rel < 0.05, rel
