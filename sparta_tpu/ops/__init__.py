@@ -16,6 +16,13 @@ from .bell_pallas import (
 from .bell_xla import bell_spmm_xla, bell_spmm_xla_ba, bell_spmm_xla_unrolled
 from .csr_spmm import EllDevice, bcoo_spmm, csr_to_bcoo, dense_matmul, ell_spmm
 from .device import BellDevice, pad_b_for_bell
+from .quant import (
+    QBellCompactDevice,
+    QBellDevice,
+    bell_spmm_int8,
+    bell_spmm_int8_unrolled,
+    quantize_b,
+)
 from .select import SpmmPlan, plan_spmm
 from .vbr_xla import VbrDevice, vbr_spmm_xla, vbr_spmm_xla_ba
 
@@ -43,6 +50,11 @@ __all__ = [
     "ell_spmm",
     "pad_b_for_bell",
     "plan_spmm",
+    "QBellCompactDevice",
+    "QBellDevice",
+    "bell_spmm_int8",
+    "bell_spmm_int8_unrolled",
+    "quantize_b",
     "SpmmPlan",
     "vbr_spmm_xla",
     "vbr_spmm_xla_ba",
