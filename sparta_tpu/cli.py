@@ -42,7 +42,7 @@ class Config:
     # TPU-native knobs
     dtype: str = "float32"          # --dtype {float32,bfloat16}
     tile_n: int = 0                 # --tile-n (0 = auto)
-    inner_iters: int = 10           # --inner-iters (timing loop depth)
+    inner_iters: int = 0            # --inner-iters (0 = auto-calibrated depth)
     backend: str = "auto"           # --backend {auto,native,numpy} for blocking
     save_grouping: bool = True
 
