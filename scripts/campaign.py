@@ -83,6 +83,20 @@ def main():
     n = collect_csvs(out / "cells", out / "campaign.csv")
     log(f"collected {n} csv rows -> {out/'campaign.csv'}")
 
+    try:
+        from sparta_tpu.bench.plots import (
+            load_results,
+            plot_blocking_quality,
+            plot_spmm_times,
+        )
+
+        df = load_results(out / "campaign.csv")
+        plot_blocking_quality(df, out / "blocking_quality.png")
+        plot_spmm_times(df, out / "spmm_times.png")
+        log(f"plots -> {out}")
+    except Exception as e:  # noqa: BLE001 — plots are best-effort
+        log(f"plotting failed: {type(e).__name__}: {e}")
+
     # summary: per matrix, blocked time vs CSR
     by = {}
     for r in all_rows:
