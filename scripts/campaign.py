@@ -70,13 +70,14 @@ def main():
             setattr(base, k, v)
 
         def on_result(row, bundle=bundle):
+            # avg_time_multiply is already in ms (reference schema)
             log(f"{bundle:18s} {Path(row.get('matrix','?')).stem:18s} "
-                f"avg {row.get('avg_time_multiply', float('nan'))*1e3:9.3f} ms  "
+                f"avg {row.get('avg_time_multiply', float('nan')):9.3f} ms  "
                 f"backend {row.get('backend','?')}")
 
         t0 = time.time()
         rows = run_sweep(matrices, {}, out / "cells", base=base,
-                         on_result=on_result)
+                         on_result=on_result, isolate=True)
         log(f"bundle {bundle}: {len(rows)} cells ({time.time()-t0:.0f}s)")
         all_rows.extend(rows)
 

@@ -272,6 +272,11 @@ def run_experiment(cfg) -> dict:
 
     if cfg.outfile:
         save_csv(cfg.outfile, row)
+        # machine-readable row for subprocess-isolated sweeps
+        import json
+
+        Path(str(cfg.outfile) + ".json").write_text(
+            json.dumps(row, default=float))
         if run_blocking and getattr(cfg, "save_grouping", True):
             write_grouping(str(cfg.outfile) + ".g", engine.grouping_result)
     return row

@@ -41,6 +41,44 @@ def config_hash(cfg: Config) -> str:
     return hashlib.sha1(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
 
 
+def _run_cell_isolated(cfg: Config, timeout: int = 1800) -> dict:
+    """Run one experiment in a fresh subprocess.
+
+    Isolation matters on the tunneled TPU: a kernel fault or a degraded
+    worker poisons every subsequent measurement in the same process, so each
+    cell gets a fresh client; between attempts we probe until the device
+    answers (the worker self-recovers in ~1-5 min after a crash)."""
+    import subprocess
+    import sys
+    import time
+
+    from ..cli import config_to_argv
+
+    argv = config_to_argv(dataclasses.replace(cfg, verbose=0))
+    for attempt in range(3):
+        r = subprocess.run(
+            [sys.executable, "-m", "sparta_tpu.cli", *argv],
+            capture_output=True, text=True, timeout=timeout,
+        )
+        result_json = Path(str(cfg.outfile) + ".json")
+        if r.returncode == 0 and result_json.exists():
+            return json.loads(result_json.read_text())
+        if attempt < 2:  # wait for the device to come back
+            deadline = time.time() + 600
+            while time.time() < deadline:
+                probe = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp;"
+                     "x = jnp.ones((128, 128)); float((x @ x)[0, 0])"],
+                    capture_output=True, timeout=300,
+                )
+                if probe.returncode == 0:
+                    break
+                time.sleep(30)
+    err = (r.stderr.strip().splitlines() or ["?"])[-1]
+    raise RuntimeError(f"cell failed after retries: {err[:300]}")
+
+
 def run_sweep(
     matrices: list[str],
     grid: dict,
@@ -48,9 +86,11 @@ def run_sweep(
     base: Config | None = None,
     resume: bool = True,
     on_result=None,
+    isolate: bool = False,
 ) -> list[dict]:
     """grid: {field_name: [values...]}.  Returns result rows (loaded from
-    disk for skipped cells)."""
+    disk for skipped cells).  ``isolate`` runs each cell in its own
+    subprocess (recommended on the real TPU; see _run_cell_isolated)."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     results = []
@@ -67,7 +107,10 @@ def run_sweep(
             if resume and cell.exists():
                 results.append(json.loads(cell.read_text()))
                 continue
-            row = run_experiment(cfg)
+            if isolate:
+                row = _run_cell_isolated(cfg)
+            else:
+                row = run_experiment(cfg)
             row = {k: (v if not hasattr(v, "item") else v.item())
                    for k, v in row.items()}
             cell.write_text(json.dumps(row, default=float))

@@ -87,6 +87,30 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+_FLAG_BY_FIELD = {
+    "blocking_algo": "-a", "col_block_size": "-b", "row_block_size": "-B",
+    "b_cols": "-c", "symmetrize": "-e", "filename": "-f",
+    "force_fixed_size": "-F", "sim_use_groups": "-g", "sim_measure": "-m",
+    "multiplication_algo": "-M", "exp_name": "-n", "outfile": "-o",
+    "sim_use_pattern": "-p", "pattern_only": "-P", "reorder": "-r",
+    "mat_fmt": "-R", "seed": "-s", "n_streams": "-S", "tau": "-t",
+    "verbose": "-v", "warmup": "-w", "exp_repetitions": "-x",
+    "dtype": "--dtype", "tile_n": "--tile-n", "inner_iters": "--inner-iters",
+    "backend": "--backend",
+}
+
+
+def config_to_argv(cfg: Config) -> list[str]:
+    """Round-trip a Config into CLI argv (for subprocess-isolated sweeps)."""
+    argv = []
+    for field, flag in _FLAG_BY_FIELD.items():
+        v = getattr(cfg, field)
+        if isinstance(v, bool):
+            v = int(v)
+        argv += [flag, str(v)]
+    return argv
+
+
 def parse_args(argv=None) -> Config:
     ns = build_parser().parse_args(argv)
     cfg = Config()

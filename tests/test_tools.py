@@ -148,3 +148,34 @@ def test_synthetic_suite():
     b = banded_csr(64, 4, density=1.0)
     d = b.to_dense()
     assert d[0, 10] == 0 and d[10, 10] != 0
+
+
+def test_config_argv_roundtrip():
+    import dataclasses
+
+    from sparta_tpu.cli import Config, config_to_argv, parse_args
+
+    cfg = Config(multiplication_algo=8, force_fixed_size=True, blocking_algo=5,
+                 row_block_size=128, col_block_size=128, b_cols=2048, tau=0.25,
+                 dtype="bfloat16", exp_name="X", filename="m.el",
+                 outfile="o.csv")
+    back = parse_args(config_to_argv(cfg))
+    for f in dataclasses.fields(Config):
+        if f.name in ("reader_delimiter", "save_grouping"):
+            continue  # no CLI flag
+        assert getattr(back, f.name) == getattr(cfg, f.name), f.name
+
+
+def test_run_sweep_isolated(matrix_file, tmp_path):
+    import dataclasses
+
+    from sparta_tpu.bench.sweep import run_sweep
+    from sparta_tpu.cli import Config
+
+    base = Config(multiplication_algo=3, force_fixed_size=True,
+                  blocking_algo=2, row_block_size=3, col_block_size=3,
+                  b_cols=8, tau=0.5, verbose=0)
+    rows = run_sweep([matrix_file], {}, tmp_path / "sw", base=base,
+                     isolate=True)
+    assert len(rows) == 1
+    assert rows[0]["avg_time_multiply"] > 0
