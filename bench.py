@@ -88,17 +88,7 @@ def main():
     flops = 2 * bell.total_nzblocks * block * block * N
     results = {}
 
-    def wait_device(max_wait=600):
-        """The tunnel/worker drops intermittently; probe until it's back."""
-        t0 = time.perf_counter()
-        while time.perf_counter() - t0 < max_wait:
-            try:
-                x = jnp.ones((256, 256))
-                float((x @ x)[0, 0])
-                return True
-            except Exception:  # noqa: BLE001
-                time.sleep(20)
-        return False
+    from sparta_tpu.bench.device import wait_for_device
 
     def bench(name, fn, Bx, fl):
         for attempt in range(3):
@@ -112,7 +102,7 @@ def main():
             except Exception as e:  # noqa: BLE001 — record and continue
                 log(f"{name:16s}: attempt {attempt+1} FAILED "
                     f"{type(e).__name__}: {e}")
-                if attempt < 2 and not wait_device():
+                if attempt < 2 and not wait_for_device():
                     break
 
     bench("bell_xla", lambda b: bell_spmm_xla(dev, b), B, flops)

@@ -34,13 +34,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
-    import os
+    from sparta_tpu.bench.device import ensure_cpu_backend
 
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        # sitecustomize force-registers the TPU backend; re-assert CPU
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+    ensure_cpu_backend()
     from sparta_tpu.bench.sweep import EXPERIMENT_BUNDLES, collect_csvs, run_sweep
     from sparta_tpu.cli import Config
     from sparta_tpu.datasets import synthetic_suite

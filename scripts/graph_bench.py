@@ -42,14 +42,11 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
-    import os
-
     import jax
 
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        # the image's sitecustomize force-registers the TPU tunnel backend
-        # regardless of the env var; re-assert CPU before backend init
-        jax.config.update("jax_platforms", "cpu")
+    from sparta_tpu.bench.device import ensure_cpu_backend
+
+    ensure_cpu_backend()
     import jax.numpy as jnp
 
     from sparta_tpu.bench.timing import time_op
@@ -86,9 +83,14 @@ def main():
     grouping = eng.get_grouping(m)
     t_block = time.perf_counter() - t0
     bell = bell_from_csr(m, grouping, block_row_size=block)
-    natural = bell_from_csr(m, None, block_row_size=block)
-    log(f"blocking: {t_block:.1f}s  nzblocks {natural.total_nzblocks} -> "
-        f"{bell.total_nzblocks}  max_nb {int(natural.nb_row.max())} -> "
+    # natural-blocking stats straight from the pattern (materializing the
+    # natural value-padded ELL of a power-law graph can need tens of GiB)
+    ri = np.repeat(np.arange(m.rows), np.diff(m.indptr)) // block
+    ci = m.indices // block
+    nat_pairs = np.unique(ri.astype(np.int64) * ((m.cols // block) + 1) + ci)
+    nat_nb = np.bincount(nat_pairs // ((m.cols // block) + 1))
+    log(f"blocking: {t_block:.1f}s  nzblocks {nat_pairs.size} -> "
+        f"{bell.total_nzblocks}  max_nb {int(nat_nb.max())} -> "
         f"{int(bell.nb_row.max())}")
 
     dev = BellCompactDevice.from_host(bell, dtype=dtype)

@@ -16,14 +16,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
-    import os
-
     import jax
 
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        # the image's sitecustomize force-registers the TPU tunnel backend
-        # regardless of the env var; re-assert CPU before backend init
-        jax.config.update("jax_platforms", "cpu")
+    from sparta_tpu.bench.device import ensure_cpu_backend
+
+    ensure_cpu_backend()
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -1,0 +1,62 @@
+"""Device health helpers for the tunneled TPU.
+
+The tunnel drops intermittently and a kernel fault kills the worker (it
+self-recovers in ~1-5 min). This is the single implementation of the
+probe-until-healthy loop that bench.py / sweeps / ad-hoc scripts share.
+"""
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+
+
+def ensure_cpu_backend() -> None:
+    """Honor JAX_PLATFORMS=cpu despite the image's sitecustomize, which
+    force-registers the TPU tunnel backend in every process. Call after
+    ``import jax`` and before any backend initialization."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def wait_for_device(
+    max_wait: float = 600.0,
+    poll: float = 20.0,
+    subprocess_probe: bool = False,
+) -> bool:
+    """Probe with a tiny matmul until the device answers or max_wait passes.
+
+    ``subprocess_probe=True`` probes from a fresh python process — required
+    when the CURRENT process's client may be poisoned by a worker crash
+    (a fresh client is also what the retry will use)."""
+    deadline = time.time() + max_wait
+    while True:
+        if subprocess_probe:
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp;"
+                     "x = jnp.ones((128, 128)); float((x @ x)[0, 0])"],
+                    capture_output=True, timeout=300,
+                )
+                ok = r.returncode == 0
+            except subprocess.TimeoutExpired:
+                ok = False
+        else:
+            try:
+                import jax.numpy as jnp
+
+                x = jnp.ones((128, 128))
+                float((x @ x)[0, 0])
+                ok = True
+            except Exception:  # noqa: BLE001 — any client error means "down"
+                ok = False
+        if ok:
+            return True
+        if time.time() >= deadline:
+            return False
+        time.sleep(poll)

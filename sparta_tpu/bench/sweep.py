@@ -55,27 +55,23 @@ def _run_cell_isolated(cfg: Config, timeout: int = 1800) -> dict:
     from ..cli import config_to_argv
 
     argv = config_to_argv(dataclasses.replace(cfg, verbose=0))
+    err = "?"
     for attempt in range(3):
-        r = subprocess.run(
-            [sys.executable, "-m", "sparta_tpu.cli", *argv],
-            capture_output=True, text=True, timeout=timeout,
-        )
-        result_json = Path(str(cfg.outfile) + ".json")
-        if r.returncode == 0 and result_json.exists():
-            return json.loads(result_json.read_text())
+        try:
+            r = subprocess.run(
+                [sys.executable, "-m", "sparta_tpu.cli", *argv],
+                capture_output=True, text=True, timeout=timeout,
+            )
+            result_json = Path(str(cfg.outfile) + ".json")
+            if r.returncode == 0 and result_json.exists():
+                return json.loads(result_json.read_text())
+            err = (r.stderr.strip().splitlines() or ["?"])[-1]
+        except subprocess.TimeoutExpired:
+            err = f"cell timed out after {timeout}s"
         if attempt < 2:  # wait for the device to come back
-            deadline = time.time() + 600
-            while time.time() < deadline:
-                probe = subprocess.run(
-                    [sys.executable, "-c",
-                     "import jax, jax.numpy as jnp;"
-                     "x = jnp.ones((128, 128)); float((x @ x)[0, 0])"],
-                    capture_output=True, timeout=300,
-                )
-                if probe.returncode == 0:
-                    break
-                time.sleep(30)
-    err = (r.stderr.strip().splitlines() or ["?"])[-1]
+            from .device import wait_for_device
+
+            wait_for_device(subprocess_probe=True)
     raise RuntimeError(f"cell failed after retries: {err[:300]}")
 
 

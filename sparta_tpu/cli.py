@@ -84,6 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inner-iters", type=int, default=d.inner_iters, dest="inner_iters")
     p.add_argument("--backend", type=str, default=d.backend,
                    choices=["auto", "native", "numpy"])
+    p.add_argument("--save-grouping", type=int, default=int(d.save_grouping),
+                   dest="save_grouping")
     return p
 
 
@@ -96,12 +98,18 @@ _FLAG_BY_FIELD = {
     "mat_fmt": "-R", "seed": "-s", "n_streams": "-S", "tau": "-t",
     "verbose": "-v", "warmup": "-w", "exp_repetitions": "-x",
     "dtype": "--dtype", "tile_n": "--tile-n", "inner_iters": "--inner-iters",
-    "backend": "--backend",
+    "backend": "--backend", "save_grouping": "--save-grouping",
 }
+
+# fields intentionally without a CLI flag (defaults only)
+_NO_FLAG_FIELDS = {"reader_delimiter"}
 
 
 def config_to_argv(cfg: Config) -> list[str]:
     """Round-trip a Config into CLI argv (for subprocess-isolated sweeps)."""
+    missing = ({f.name for f in dataclasses.fields(Config)}
+               - set(_FLAG_BY_FIELD) - _NO_FLAG_FIELDS)
+    assert not missing, f"Config fields without a CLI flag: {missing}"
     argv = []
     for field, flag in _FLAG_BY_FIELD.items():
         v = getattr(cfg, field)
@@ -124,14 +132,9 @@ def parse_args(argv=None) -> Config:
 
 
 def main(argv=None):
-    import os
+    from .bench.device import ensure_cpu_backend
 
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        # the image's sitecustomize force-registers the TPU tunnel backend
-        # regardless of the env var; re-assert CPU before backend init
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+    ensure_cpu_backend()
     from .bench.runner import run_experiment
 
     cfg = parse_args(argv)

@@ -173,9 +173,14 @@ class BlockSparseLinear:
         K = nbc * self.block
         out_dim = self.out_dim
 
+        plan_dtype = dtype or jnp.bfloat16
+
         def apply(x: jax.Array) -> jax.Array:
             lead = x.shape[:-1]
-            x2 = x.reshape(-1, x.shape[-1])
+            # cast to the plan dtype FIRST: plan_spmm sized its VMEM-resident
+            # B tile for this itemsize (an f32 activation through a bf16
+            # plan would double the tile and blow scoped VMEM)
+            x2 = x.reshape(-1, x.shape[-1]).astype(plan_dtype)
             if x2.shape[1] < K:
                 x2 = jnp.pad(x2, ((0, 0), (0, K - x2.shape[1])))
             n = x2.shape[0]

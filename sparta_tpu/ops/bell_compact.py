@@ -40,6 +40,9 @@ class BellCompactDevice:
     row_ptr: jax.Array    # int32 [nbr+1]
     cols_flat: jax.Array  # int32 [nzblocks]
     vals_flat: jax.Array  # [nzblocks, bh, bw]
+    # static: every block-row's count is a multiple of this (1 = unpadded);
+    # set by compact_from_host_padded, REQUIRED by the unrolled kernel
+    chunk_multiple: int = 1
 
     @property
     def n_block_rows(self) -> int:
@@ -54,11 +57,11 @@ class BellCompactDevice:
         return self.vals_flat.shape[2]
 
     def tree_flatten(self):
-        return (self.row_ptr, self.cols_flat, self.vals_flat), None
+        return (self.row_ptr, self.cols_flat, self.vals_flat), self.chunk_multiple
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, chunk_multiple=aux)
 
     @classmethod
     def from_host(cls, bell: BELL, dtype=jnp.float32) -> "BellCompactDevice":
@@ -94,6 +97,7 @@ class BellCompactDevice:
             row_ptr=self.row_ptr,
             cols_flat=jnp.asarray(cols),
             vals_flat=vals,
+            chunk_multiple=self.chunk_multiple,
         )
 
     def pad_rows(self, multiple: int) -> "BellCompactDevice":
@@ -109,6 +113,7 @@ class BellCompactDevice:
             row_ptr=jnp.asarray(rp),
             cols_flat=self.cols_flat,
             vals_flat=self.vals_flat,
+            chunk_multiple=self.chunk_multiple,
         )
 
 
@@ -529,6 +534,7 @@ def compact_from_host_padded(
         row_ptr=jnp.asarray(row_ptr),
         cols_flat=jnp.asarray(cols),
         vals_flat=jnp.asarray(vals, dtype=dtype),
+        chunk_multiple=chunk,
     )
 
 
@@ -619,6 +625,12 @@ def bell_spmm_pallas_compact_unrolled(
     K, N = B.shape
     if N % tn:
         raise ValueError(f"N={N} not a multiple of tile {tn}")
+    if bell.chunk_multiple % chunk:
+        raise ValueError(
+            f"layout padded to multiples of {bell.chunk_multiple}, kernel "
+            f"chunk={chunk}: build with compact_from_host_padded(bell, "
+            f"{chunk}) — unpadded rows would silently drop trailing blocks"
+        )
     out_dtype = out_dtype or B.dtype
     interpret = interpret or jax.default_backend() == "cpu"
 

@@ -84,13 +84,17 @@ class QBellCompactDevice:
     cols_flat: jax.Array   # int32 [total]
     scales_flat: jax.Array  # f32 [total] per-block dequant scale
     q_vals: jax.Array      # int8 [total, bh, bw]
+    chunk_multiple: int = 1  # static: row counts are multiples of this
 
     def tree_flatten(self):
-        return (self.row_ptr, self.cols_flat, self.scales_flat, self.q_vals), None
+        return (
+            (self.row_ptr, self.cols_flat, self.scales_flat, self.q_vals),
+            self.chunk_multiple,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, chunk_multiple=aux)
 
     @property
     def n_block_rows(self) -> int:
@@ -126,6 +130,7 @@ class QBellCompactDevice:
             cols_flat=jnp.asarray(cols),
             scales_flat=jnp.asarray(scales),
             q_vals=jnp.asarray(q),
+            chunk_multiple=chunk,
         )
 
 
@@ -222,6 +227,12 @@ def bell_spmm_int8_unrolled(
     K, N = Bq.shape
     if N % tn:
         raise ValueError(f"N={N} not a multiple of tile {tn}")
+    if qbell.chunk_multiple % chunk:
+        raise ValueError(
+            f"layout padded to multiples of {qbell.chunk_multiple}, kernel "
+            f"chunk={chunk}: rebuild with QBellCompactDevice.from_bell(bell, "
+            f"chunk={chunk})"
+        )
     interpret = interpret or jax.default_backend() == "cpu"
 
     kernel = _partial(_kernel_int8_unrolled, bw=bw, tn=tn, chunk=chunk)
