@@ -106,7 +106,15 @@ def time_op(
         n_big = min(n_big * 8, 200000)
         n_small = max(n_big // 8, 1)
         per, pairs = measure()
-    return max(float(per), 1e-9), float(pairs.std()), None
+    if per <= 0:
+        # persistent even with a deep loop: the device/tunnel is unhealthy
+        # (a degraded worker serves erratic latencies). Fail loudly so
+        # callers retry in a fresh process instead of recording ~0 ms.
+        raise RuntimeError(
+            "non-positive differential time after deepening retries — "
+            "device measurement unreliable"
+        )
+    return float(per), float(pairs.std()), None
 
 
 def time_fn_once(fn: Callable, *args) -> tuple[float, object]:
