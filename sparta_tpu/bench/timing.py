@@ -39,7 +39,11 @@ def make_timed_loop(fn: Callable):
             chk = jnp.mean(C.astype(jnp.float32)).astype(carry.dtype)
             return carry * (1 + eps * chk)
 
-        return jax.lax.fori_loop(0, n, body, B, unroll=False)
+        out = jax.lax.fori_loop(0, n, body, B, unroll=False)
+        # return a SCALAR checksum, not the carry: syncing transfers the
+        # result through the ~30MB/s tunnel, and a B-sized transfer (~1s
+        # for a 34MB operand) would swamp every timing below it
+        return jnp.mean(out.astype(jnp.float32))
 
     return loop
 
