@@ -75,6 +75,9 @@ def main():
             lambda v, L=layer, p=params: L.apply(p, v),
             x, eff_flops,
         )
+        frozen = layer.freeze(params, batch_hint=batch, dtype=dtype)
+        t_fz = bench(f"frozen       {sparsity:.0%}", frozen, x, eff_flops)
+        t_bs = min(t_bs, t_fz)
 
         # same pruned weights as unstructured CSR (the "don't exploit
         # block structure" baseline)
