@@ -130,6 +130,26 @@ def main():
                                                       chunk=chunk),
           B, flops)
 
+    # int8 quantized path (2x MXU peak; ~1e-2 rel err): reported in the
+    # detail table, NOT in the headline (different accuracy class)
+    try:
+        from sparta_tpu.ops import bell_spmm_int8_unrolled, quantize_b
+        from sparta_tpu.ops.quant import QBellCompactDevice
+
+        chunk_q = compact_auto_chunk(bell.nb_row)
+        qc = QBellCompactDevice.from_bell(bell, chunk=chunk_q)
+        Bq, bscale = quantize_b(B.astype(jnp.float32), block)
+        Bqf = jnp.asarray(Bq).reshape(-1, N)
+        tq = 1024 if N % 1024 == 0 else tn
+        avg, std, _ = time_op(
+            lambda b: bell_spmm_int8_unrolled(qc, b, bscale, tn=tq,
+                                              chunk=chunk_q),
+            Bqf, warmup=1, reps=reps, inner_iters=inner or None)
+        log(f"{'int8_unrolled':16s}: {avg*1e3:9.3f} ms  ({flops/avg/1e12:6.2f} "
+            f"TFLOP/s eff, std {std*1e3:.3f})  [not in headline]")
+    except Exception as e:  # noqa: BLE001
+        log(f"int8_unrolled   : FAILED {type(e).__name__}: {e}")
+
     bcoo = csr_to_bcoo(m, dtype=dtype)
     Bc = B[: m.cols]
     bench("csr_bcoo", lambda b: bcoo_spmm(bcoo, b), Bc, 2 * m.nnz * N)

@@ -34,10 +34,13 @@ def make_timed_loop(fn: Callable):
             # depend on a FULL reduction of C: reading a single element
             # would let XLA slice the computation down to the one value
             # actually used (e.g. a [M,K]@[K,N] matmul becomes one dot
-            # product) and time a fraction of the op
-            eps = jnp.asarray(1e-38, dtype=carry.dtype)
-            chk = jnp.mean(C.astype(jnp.float32)).astype(carry.dtype)
-            return carry * (1 + eps * chk)
+            # product) and time a fraction of the op. The bump must be
+            # computed at RUNTIME (chk * tiny, cast to the carry dtype):
+            # a compile-time epsilon constant-folds to 0 for integer
+            # carries and the whole loop body gets DCE'd.
+            chk = jnp.mean(C.astype(jnp.float32))
+            bump = (chk * jnp.float32(1e-38)).astype(carry.dtype)
+            return carry + bump
 
         out = jax.lax.fori_loop(0, n, body, B, unroll=False)
         # return a SCALAR checksum, not the carry: syncing transfers the
