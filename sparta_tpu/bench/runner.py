@@ -92,7 +92,9 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
     from ..ops.dense_pallas import dense_matmul_pallas
 
     algo = MultiplicationAlgo(cfg.multiplication_algo)
-    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    # int8 runs the quantized blocked path for -M 8; other backends use bf16
+    # storage for it (the reference's Z_/Q_ type-switch analog)
+    dtype = jnp.bfloat16 if cfg.dtype in ("bfloat16", "int8") else jnp.float32
     N = cfg.b_cols
 
     if algo == MultiplicationAlgo.dense_xla:
@@ -200,10 +202,27 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
         )
 
     if algo in (MultiplicationAlgo.bell_pallas, MultiplicationAlgo.bell_pallas_batched):
-        from ..ops import plan_spmm
-
         Np = round_up(N, 128)
         fl = 2 * bell.total_nzblocks * bell.block_row_size * bell.block_col_size * Np
+
+        if cfg.dtype == "int8" and bell.block_row_size % 8 == 0                 and bell.block_col_size % 128 == 0:
+            from ..ops import bell_spmm_int8_unrolled, compact_auto_chunk, quantize_b
+            from ..ops.quant import QBellCompactDevice
+
+            chunk = compact_auto_chunk(bell.nb_row)
+            qc = QBellCompactDevice.from_bell(bell, chunk=chunk)
+            bw = bell.block_col_size
+            tn = cfg.tile_n or (512 if Np % 512 == 0 else 256 if Np % 256 == 0 else 128)
+
+            def fn(B, qc=qc, bw=bw, tn=tn, chunk=chunk):
+                Bq, bscale = quantize_b(B, bw)
+                return bell_spmm_int8_unrolled(
+                    qc, Bq.reshape(B.shape), bscale, tn=tn, chunk=chunk)
+
+            return fn, (bell.shape[1], Np), f"bell_int8_unrolled_tn{tn}_c{chunk}", fl
+
+        from ..ops import plan_spmm
+
         plan = plan_spmm(bell, Np, dtype=dtype, tile_n=cfg.tile_n or None)
         return plan.fn, (bell.shape[1], Np), plan.backend, fl
 

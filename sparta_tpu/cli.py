@@ -40,7 +40,7 @@ class Config:
     n_streams: int = 4              # -S (schema compat; no CUDA streams on TPU)
 
     # TPU-native knobs
-    dtype: str = "float32"          # --dtype {float32,bfloat16}
+    dtype: str = "float32"          # --dtype {float32,bfloat16,int8}
     tile_n: int = 0                 # --tile-n (0 = auto)
     inner_iters: int = 0            # --inner-iters (0 = auto-calibrated depth)
     backend: str = "auto"           # --backend {auto,native,numpy} for blocking
@@ -79,7 +79,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-w", type=int, default=d.warmup, dest="warmup")
     p.add_argument("-x", type=int, default=d.exp_repetitions, dest="exp_repetitions")
     p.add_argument("--dtype", type=str, default=d.dtype,
-                   choices=["float32", "bfloat16"])
+                   choices=["float32", "bfloat16", "int8"])
     p.add_argument("--tile-n", type=int, default=d.tile_n, dest="tile_n")
     p.add_argument("--inner-iters", type=int, default=d.inner_iters, dest="inner_iters")
     p.add_argument("--backend", type=str, default=d.backend,

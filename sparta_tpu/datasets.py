@@ -79,4 +79,48 @@ def synthetic_suite(scale: str = "small", seed: int = 0) -> dict[str, CSR]:
         ),
         "banded": banded_csr(n, bandwidth=max(n // 64, 4), seed=seed + 3),
         "rmat": rmat_csr(int(np.log2(n)), edge_factor=8, seed=seed + 4),
+        "fem_2d": stencil_csr(
+            (int(np.sqrt(n)),) * 2, pattern="box", seed=seed + 5),
+        "fem_3d": stencil_csr(
+            (max(int(round(n ** (1 / 3))), 2),) * 3, pattern="star",
+            seed=seed + 6),
     }
+
+
+def stencil_csr(grid: tuple[int, ...], pattern: str = "star", seed: int = 0,
+                weighted: bool = True) -> CSR:
+    """FEM/finite-difference stencil matrix on a regular grid — the
+    SuiteSparse-FEM-like structure (bcsstk18 / FEM_3D_thermal1 class) that
+    blocks well under similarity reordering.
+
+    grid: (nx, ny) or (nx, ny, nz); pattern: "star" (5/7-point) or "box"
+    (9/27-point).
+    """
+    import itertools
+
+    import scipy.sparse as sp
+
+    dims = len(grid)
+    if pattern == "star":
+        offsets = [tuple(0 if j != i else d for j in range(dims))
+                   for i in range(dims) for d in (-1, 1)]
+    else:  # box
+        offsets = [o for o in itertools.product((-1, 0, 1), repeat=dims)
+                   if any(o)]
+    n = int(np.prod(grid))
+    idx = np.arange(n).reshape(grid)
+    rows, cols = [idx.ravel()], [idx.ravel()]  # diagonal
+    for off in offsets:
+        src = tuple(slice(max(0, -o), (None if o <= 0 else -o)) for o in off)
+        dst = tuple(slice(max(0, o), (None if o >= 0 else o)) for o in off)
+        rows.append(idx[src].ravel())
+        cols.append(idx[dst].ravel())
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    if weighted:
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(r.size).astype(np.float32)
+    else:
+        v = np.ones(r.size, dtype=np.float32)
+    S = sp.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
+    return CSR.from_scipy(S)

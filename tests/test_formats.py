@@ -236,3 +236,23 @@ def test_native_io_comments_and_blank(tmp_path):
     p.write_text("# comment\n\n0 1 2.5\n% another\n1 0 1.5\n")
     m = read_edgelist(p)
     assert m.nnz == 2 and m.to_dense()[0, 1] == 2.5
+
+
+def test_stencil_csr_structure():
+    from sparta_tpu.datasets import stencil_csr
+
+    m = stencil_csr((8, 8), pattern="star")
+    S = m.to_scipy()
+    # symmetric pattern, 5-point: interior rows have 5 entries
+    assert (S != S.T).nnz == 0 or True  # weights differ; pattern symmetric
+    P = (S != 0).astype(int)
+    assert (P.toarray() != P.toarray().T).sum() == 0
+    row_nnz = np.diff(S.indptr)
+    assert row_nnz.max() == 5 and row_nnz.min() == 3
+
+    m3 = stencil_csr((4, 4, 4), pattern="star")
+    row_nnz = np.diff(m3.to_scipy().indptr)
+    assert row_nnz.max() == 7
+
+    mb = stencil_csr((6, 6), pattern="box")
+    assert np.diff(mb.to_scipy().indptr).max() == 9

@@ -142,7 +142,7 @@ def test_synthetic_suite():
 
     suite = synthetic_suite("small")
     assert set(suite) == {"uniform_sparse", "uniform_denser", "blocked_shuffled",
-                          "banded", "rmat"}
+                          "banded", "rmat", "fem_2d", "fem_3d"}
     for name, m in suite.items():
         assert m.nnz > 0, name
     b = banded_csr(64, 4, density=1.0)
