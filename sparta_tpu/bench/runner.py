@@ -132,9 +132,25 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
         from ..ops import VbrDevice, vbr_spmm_xla, vbr_spmm_xla_ba
 
         vbr = vbr_from_csr(m, grouping, col_block_size=cfg.col_block_size)
-        vdev = VbrDevice.from_host(vbr, dtype=dtype)
         flops = 2 * int((np.diff(vbr.block_ptr)).sum()) * N
         K = vbr.block_cols * vbr.block_col_size
+        # MXU path for -M 10 when blocks are tileable: height-bucketed
+        # unrolled kernels (vbr_pallas.py). The inverted product stays on
+        # the XLA path — transposing a row-grouped VBR yields variable
+        # block WIDTHS, which no kernel layout here supports.
+        if algo == MultiplicationAlgo.vbr_pallas \
+                and cfg.col_block_size % 128 == 0 and N % 128 == 0:
+            from ..ops import VbrPallasDevice, vbr_spmm_pallas
+
+            pdev = VbrPallasDevice.from_host(vbr, dtype=dtype)
+            tn = cfg.tile_n or next(t for t in (512, 256, 128) if N % t == 0)
+            return (
+                lambda B: vbr_spmm_pallas(pdev, B, tn=tn),
+                (K, N),
+                f"vbr_pallas_bucketed_tn{tn}",
+                flops,
+            )
+        vdev = VbrDevice.from_host(vbr, dtype=dtype)
         if algo in (MultiplicationAlgo.vbr_xla_inverted,
                     MultiplicationAlgo.vbr_pallas_inverted):
             return (

@@ -24,6 +24,7 @@ from .quant import (
     quantize_b,
 )
 from .select import SpmmPlan, plan_spmm
+from .vbr_pallas import VbrPallasDevice, vbr_spmm_pallas
 from .vbr_xla import VbrDevice, vbr_spmm_xla, vbr_spmm_xla_ba
 
 __all__ = [
@@ -56,6 +57,8 @@ __all__ = [
     "bell_spmm_int8_unrolled",
     "quantize_b",
     "SpmmPlan",
+    "VbrPallasDevice",
+    "vbr_spmm_pallas",
     "vbr_spmm_xla",
     "vbr_spmm_xla_ba",
 ]

@@ -50,3 +50,27 @@ def test_vbr_bucketing_covers_all_blocks(problem):
     dev = VbrDevice.from_host(vbr)
     total = sum(int((b.cols_idx >= 0).sum()) for b in dev.buckets)
     assert total == vbr.total_nzblocks
+
+
+def test_vbr_spmm_pallas_matches_oracle():
+    """Height-bucketed Pallas VBR SpMM == scipy oracle (ragged heights)."""
+    import jax.numpy as jnp
+
+    from sparta_tpu.formats import random_block_csr, vbr_from_csr
+    from sparta_tpu.ops import VbrPallasDevice, vbr_spmm_pallas
+    from sparta_tpu.reorder import BlockingEngine
+    from sparta_tpu.utils import get_permutation
+
+    m = random_block_csr(200, 200, block=8, block_density=0.2,
+                         intra_density=0.6, seed=17)
+    eng = BlockingEngine(tau=0.6, col_block_size=16, row_block_size=16)
+    g = eng.get_grouping(m)
+    vbr = vbr_from_csr(m, g, col_block_size=16)
+    assert len(np.unique(vbr.heights)) > 1  # genuinely ragged
+    dev = VbrPallasDevice.from_host(vbr, chunk=2)
+    K = vbr.block_cols * vbr.block_col_size
+    B = np.zeros((K, 32), dtype=np.float32)
+    B[: m.cols] = np.random.default_rng(3).standard_normal((m.cols, 32))
+    C = np.asarray(vbr_spmm_pallas(dev, jnp.asarray(B), tn=32))
+    C_ref = (m.to_scipy() @ B[: m.cols])[get_permutation(g)]
+    np.testing.assert_allclose(C[: m.rows], C_ref, rtol=1e-4, atol=1e-4)
