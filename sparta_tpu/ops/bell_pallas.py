@@ -173,7 +173,9 @@ def bell_spmm_pallas_auto(
     gather-DMA kernel; choose the largest fitting tile width."""
     K, N = B.shape
     item = B.dtype.itemsize
-    tiles = [t for t in (1024, 512, 256, 128, 64, 32) if N % t == 0] or [N]
+    # Mosaic requires the lane (last) dim of VMEM blocks to be a multiple
+    # of 128: never tile below that
+    tiles = [t for t in (1024, 512, 256, 128) if N % t == 0] or [N]
     for tn in tiles:
         vals_row = bell.max_nb * bell.block_row_size * bell.block_col_size
         # the B tile rides a BlockSpec, so Pallas double-buffers it: count
@@ -183,7 +185,8 @@ def bell_spmm_pallas_auto(
         if need <= VMEM_BUDGET:
             return bell_spmm_pallas_bcache(bell, B, tn=tn, out_dtype=out_dtype,
                                            interpret=interpret)
-    return bell_spmm_pallas(bell, B, tn=tiles[0], out_dtype=out_dtype,
+    # B can't be VMEM-resident at any valid tile: gather stripes from HBM
+    return bell_spmm_pallas(bell, B, tn=tiles[-1], out_dtype=out_dtype,
                             interpret=interpret)
 
 
