@@ -136,14 +136,13 @@ def main():
         from sparta_tpu.ops import bell_spmm_int8_unrolled, quantize_b
         from sparta_tpu.ops.quant import QBellCompactDevice
 
-        chunk_q = compact_auto_chunk(bell.nb_row)
-        qc = QBellCompactDevice.from_bell(bell, chunk=chunk_q)
-        Bq, bscale = quantize_b(B.astype(jnp.float32), block)
+        qc = QBellCompactDevice.from_bell(bell, chunk=chunk)
+        Bq, bscale = quantize_b(B, block)
         Bqf = jnp.asarray(Bq).reshape(-1, N)
         tq = 1024 if N % 1024 == 0 else tn
         avg, std, _ = time_op(
             lambda b: bell_spmm_int8_unrolled(qc, b, bscale, tn=tq,
-                                              chunk=chunk_q),
+                                              chunk=chunk),
             Bqf, warmup=1, reps=reps, inner_iters=inner or None)
         log(f"{'int8_unrolled':16s}: {avg*1e3:9.3f} ms  ({flops/avg/1e12:6.2f} "
             f"TFLOP/s eff, std {std*1e3:.3f})  [not in headline]")

@@ -40,7 +40,7 @@ def main():
     from sparta_tpu.bench.device import ensure_cpu_backend
 
     ensure_cpu_backend()
-    from sparta_tpu.bench.timing import time_fn_once
+    from sparta_tpu.bench.timing import time_op
     from sparta_tpu.datasets import stencil_csr
     from sparta_tpu.models import GCN, GCNConfig, make_gcn_train_step
 
@@ -66,29 +66,34 @@ def main():
     labels = jnp.asarray(rng.integers(0, args.classes, n))
     mask = jnp.ones(n, dtype=jnp.float32)
 
-    fwd = jax.jit(model.apply)
-    t_c, out = time_fn_once(fwd, params, X)
-    log(f"forward compile+run: {t_c:.1f}s")
-    t_f, _ = time_fn_once(fwd, params, X)
+    # forward: tunnel-robust differential timing (CLAUDE.md: never trust a
+    # single dispatch+sync through the tunnel)
+    t_f, _, _ = time_op(lambda x: model.apply(params, x), X, reps=3)
     log(f"forward: {t_f*1e3:.1f} ms ({n/t_f/1e6:.2f} Mnodes/s)")
 
     opt = optax.adam(1e-3)
     step = make_gcn_train_step(model, opt)
     opt_state = opt.init(params)
-    t_c, _ = time_fn_once(lambda: step(params, opt_state, X, labels, mask))
-    log(f"train step compile+run: {t_c:.1f}s")
-    t0 = time.time()
-    losses = []
-    for _ in range(5):
-        params, opt_state, loss = step(params, opt_state, X, labels, mask)
-    jax.block_until_ready(loss)
-    t_s = (time.time() - t0) / 5
-    log(f"train step: {t_s*1e3:.1f} ms  loss={float(loss):.4f}")
+
+    def run_steps(k):
+        p, o = params, opt_state
+        t0 = time.time()
+        for _ in range(k):
+            p, o, loss = step(p, o, X, labels, mask)
+        loss_val = float(loss)  # scalar sync through the tunnel
+        return time.time() - t0, loss_val
+
+    run_steps(1)  # compile
+    t5, _ = run_steps(5)
+    t15, loss_val = run_steps(15)
+    t_s = max((t15 - t5) / 10, 1e-9)  # differential: cancels fixed overhead
+    log(f"train step: {t_s*1e3:.1f} ms  loss={loss_val:.4f}")
+    loss = loss_val
 
     print(json.dumps({
         "nodes": n, "nnz": adj.nnz, "adj_blocks": int(np.asarray(model.nb_row).sum()),
         "create_s": round(t_create, 2), "fwd_ms": round(t_f * 1e3, 2),
-        "train_step_ms": round(t_s * 1e3, 2), "loss": round(float(loss), 4),
+        "train_step_ms": round(t_s * 1e3, 2), "loss": round(loss, 4),
     }), flush=True)
 
 

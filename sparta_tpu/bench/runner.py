@@ -173,7 +173,7 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
     flops = 2 * bell.total_nzblocks * bell.block_row_size * bell.block_col_size * N
 
     if algo in (MultiplicationAlgo.bell_xla, MultiplicationAlgo.vbr_xla,
-                MultiplicationAlgo.vbr_xla_fixed, MultiplicationAlgo.vbr_pallas):
+                MultiplicationAlgo.vbr_xla_fixed):
         return (lambda B: bell_spmm_xla(dev, B)), (bell.shape[1], N), "bell_xla", flops
 
     if algo in (MultiplicationAlgo.vbr_xla_inverted, MultiplicationAlgo.vbr_pallas_inverted):
@@ -217,7 +217,11 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
             flops,
         )
 
-    if algo in (MultiplicationAlgo.bell_pallas, MultiplicationAlgo.bell_pallas_batched):
+    if algo in (MultiplicationAlgo.bell_pallas,
+                MultiplicationAlgo.bell_pallas_batched,
+                MultiplicationAlgo.vbr_pallas):
+        # fixed-size -M 10 gets the same Pallas bell family as -M 8
+        # (matches the CUTLASS-VBR analog documented in PARITY.md)
         Np = round_up(N, 128)
         fl = 2 * bell.total_nzblocks * bell.block_row_size * bell.block_col_size * Np
 
@@ -264,7 +268,9 @@ def run_experiment(cfg) -> dict:
     flops = 0
     if algo != MultiplicationAlgo.no_mult:
         fn, b_shape, backend_name, flops = make_backend(cfg, m, engine)
-        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        # must mirror make_backend's dtype rule (int8 structures are built
+        # around bf16-sized B before quantization)
+        dtype = jnp.bfloat16 if cfg.dtype in ("bfloat16", "int8") else jnp.float32
         rng = np.random.default_rng(cfg.seed or 0)
         B = jnp.asarray(rng.standard_normal(b_shape).astype(np.float32), dtype=dtype)
         avg, std, _ = time_op(

@@ -186,7 +186,9 @@ def bell_spmm_pallas_auto(
             return bell_spmm_pallas_bcache(bell, B, tn=tn, out_dtype=out_dtype,
                                            interpret=interpret)
     # B can't be VMEM-resident at any valid tile: gather stripes from HBM
-    return bell_spmm_pallas(bell, B, tn=tiles[-1], out_dtype=out_dtype,
+    # with the LARGEST tile (the gather kernel re-reads vals once per
+    # column tile, so a small tn multiplies A-values HBM traffic)
+    return bell_spmm_pallas(bell, B, tn=tiles[0], out_dtype=out_dtype,
                             interpret=interpret)
 
 

@@ -71,11 +71,15 @@ class VbrPallasDevice:
         for hp in np.unique(h_pads):
             sel = np.flatnonzero(h_pads == hp)
             nb = vbr.nzcount[sel].astype(np.int64)
+            if nb.sum() == 0:
+                continue  # bucket of empty block-rows: contributes nothing
             nb_pad = (nb + chunk - 1) // chunk * chunk
             row_ptr = np.concatenate(([0], np.cumsum(nb_pad))).astype(np.int32)
             total = int(row_ptr[-1])
-            cols = np.zeros(total, dtype=np.int32)
-            vals = np.zeros((max(total, 1), int(hp), bw), dtype=np.float32)
+            # at least `chunk` rows so the kernel's chunk-sized DMA slice
+            # is always in bounds
+            cols = np.zeros(max(total, chunk), dtype=np.int32)
+            vals = np.zeros((max(total, chunk), int(hp), bw), dtype=np.float32)
             for t, ib in enumerate(sel):
                 n = int(nb[t])
                 h = int(heights[ib])

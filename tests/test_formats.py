@@ -243,8 +243,8 @@ def test_stencil_csr_structure():
 
     m = stencil_csr((8, 8), pattern="star")
     S = m.to_scipy()
-    # symmetric pattern, 5-point: interior rows have 5 entries
-    assert (S != S.T).nnz == 0 or True  # weights differ; pattern symmetric
+    # 5-point star: symmetric PATTERN (weights are random), interior rows
+    # have 5 entries
     P = (S != 0).astype(int)
     assert (P.toarray() != P.toarray().T).sum() == 0
     row_nnz = np.diff(S.indptr)
