@@ -688,14 +688,15 @@ def _kernel_gather(
     vals_hbm,      # [total, bh, bw] (HBM)
     b_hbm,         # [K, N] (HBM)
     out_ref,       # [bh, tn] (VMEM)
-    vbuf,          # [2, bh, bw] VMEM
-    bbuf,          # [2, bw, tn] VMEM
+    vbuf,          # [nslots, bh, bw] VMEM
+    bbuf,          # [nslots, bw, tn] VMEM
     acc_ref,       # [bh, tn] fp32
-    vsems,         # DMA sems (2,)
-    bsems,         # DMA sems (2,)
+    vsems,         # DMA sems (nslots,)
+    bsems,         # DMA sems (nslots,)
     *,
     bw: int,
     tn: int,
+    nslots: int,
 ):
     """Compact vals + HBM-gathered B: the LARGE-matrix kernel.
 
@@ -722,21 +723,22 @@ def _kernel_gather(
             bsems.at[slot],
         )
 
-    @pl.when(nb > 0)
-    def _():
-        vdma(0, 0).start()
-        bdma(0, 0).start()
+    for s in range(nslots - 1):  # prime an (nslots-1)-deep pipeline
+        @pl.when(s < nb)
+        def _(s=s):
+            vdma(s, s).start()
+            bdma(s, s).start()
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def body(k, _):
-        slot = jax.lax.rem(k, 2)
+        slot = jax.lax.rem(k, nslots)
 
-        @pl.when(k + 1 < nb)
+        @pl.when(k + (nslots - 1) < nb)
         def _():
-            nslot = jax.lax.rem(k + 1, 2)
-            vdma(k + 1, nslot).start()
-            bdma(k + 1, nslot).start()
+            nslot = jax.lax.rem(k + (nslots - 1), nslots)
+            vdma(k + (nslots - 1), nslot).start()
+            bdma(k + (nslots - 1), nslot).start()
 
         vdma(k, slot).wait()
         bdma(k, slot).wait()
@@ -749,11 +751,14 @@ def _kernel_gather(
     out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tn", "out_dtype", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tn", "nslots", "out_dtype", "interpret")
+)
 def bell_spmm_pallas_compact_gather(
     bell: BellCompactDevice,
     B: jax.Array,
     tn: int = 512,
+    nslots: int = 4,
     out_dtype=None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -769,7 +774,7 @@ def bell_spmm_pallas_compact_gather(
     out_dtype = out_dtype or B.dtype
     interpret = interpret or jax.default_backend() == "cpu"
 
-    kernel = functools.partial(_kernel_gather, bw=bw, tn=tn)
+    kernel = functools.partial(_kernel_gather, bw=bw, tn=tn, nslots=nslots)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -783,11 +788,11 @@ def bell_spmm_pallas_compact_gather(
                 (bh, tn), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, bh, bw), bell.vals_flat.dtype),
-                pltpu.VMEM((2, bw, tn), B.dtype),
+                pltpu.VMEM((nslots, bh, bw), bell.vals_flat.dtype),
+                pltpu.VMEM((nslots, bw, tn), B.dtype),
                 pltpu.VMEM((bh, tn), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((nslots,)),
+                pltpu.SemaphoreType.DMA((nslots,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),
