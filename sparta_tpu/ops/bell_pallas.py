@@ -36,12 +36,13 @@ def _kernel(
     # output
     out_ref,      # [bh, TN] (VMEM)
     # scratch
-    b_buf,        # [2, bw, TN] (VMEM)
+    b_buf,        # [nslots, bw, TN] (VMEM)
     acc_ref,      # [bh, TN] fp32 (VMEM)
-    sems,         # DMA sems (2,)
+    sems,         # DMA sems (nslots,)
     *,
     bw: int,
     tn: int,
+    nslots: int,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -55,16 +56,19 @@ def _kernel(
             sems.at[slot],
         )
 
-    @pl.when(nb > 0)
-    def _():
-        b_dma(0, 0).start()
+    # per-stripe copies are latency-bound: keep nslots-1 in flight
+    for s in range(nslots - 1):
+        @pl.when(s < nb)
+        def _(s=s):
+            b_dma(s, s).start()
 
     def body(k, _):
-        slot = jax.lax.rem(k, 2)
+        slot = jax.lax.rem(k, nslots)
 
-        @pl.when(k + 1 < nb)
+        @pl.when(k + (nslots - 1) < nb)
         def _():
-            b_dma(k + 1, jax.lax.rem(k + 1, 2)).start()
+            b_dma(k + (nslots - 1),
+                  jax.lax.rem(k + (nslots - 1), nslots)).start()
 
         b_dma(k, slot).wait()
         acc_ref[...] += jax.lax.dot(
@@ -193,12 +197,13 @@ def bell_spmm_pallas_auto(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tn", "out_dtype", "interpret")
+    jax.jit, static_argnames=("tn", "nslots", "out_dtype", "interpret")
 )
 def bell_spmm_pallas(
     bell: BellDevice,
     B: jax.Array,
     tn: int = 512,
+    nslots: int = 4,
     out_dtype=None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -214,7 +219,7 @@ def bell_spmm_pallas(
     interpret = interpret or jax.default_backend() == "cpu"
 
     grid = (nbr, N // tn)
-    kernel = functools.partial(_kernel, bw=bw, tn=tn)
+    kernel = functools.partial(_kernel, bw=bw, tn=tn, nslots=nslots)
 
     return pl.pallas_call(
         kernel,
@@ -233,9 +238,9 @@ def bell_spmm_pallas(
                 (bh, tn), lambda i, j, *_: (i, j), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, bw, tn), B.dtype),
+                pltpu.VMEM((nslots, bw, tn), B.dtype),
                 pltpu.VMEM((bh, tn), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((nslots,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),
