@@ -30,8 +30,22 @@ def csr_to_bcoo(cmat: CSR, dtype=jnp.float32) -> jsparse.BCOO:
 
 
 @jax.jit
-def bcoo_spmm(A: jsparse.BCOO, B: jax.Array) -> jax.Array:
+def _bcoo_spmm_one(A: jsparse.BCOO, B: jax.Array) -> jax.Array:
     return A @ B
+
+
+def bcoo_spmm(A: jsparse.BCOO, B: jax.Array, max_cols: int = 2048) -> jax.Array:
+    """CSR/BCOO SpMM baseline. Wide operands run in column slabs: the
+    scatter program for B wider than 2048 columns fails to compile through
+    this image's remote-compile service (deterministic HTTP 500), and slabs
+    also bound the scatter working set."""
+    if B.shape[1] <= max_cols:
+        return _bcoo_spmm_one(A, B)
+    outs = [
+        _bcoo_spmm_one(A, B[:, i : i + max_cols])
+        for i in range(0, B.shape[1], max_cols)
+    ]
+    return jnp.concatenate(outs, axis=1)
 
 
 @jax.tree_util.register_pytree_node_class
