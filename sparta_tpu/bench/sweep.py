@@ -32,6 +32,8 @@ EXPERIMENT_BUNDLES = {
                              multiplication_algo=3),
     "PALLAS_blocked": dict(force_fixed_size=True, blocking_algo=5,
                            multiplication_algo=8),
+    "PALLAS_int8": dict(force_fixed_size=True, blocking_algo=5,
+                        multiplication_algo=8, dtype="int8"),
 }
 
 
