@@ -67,3 +67,29 @@ def load_params(path: str | Path, like=None):
         assert val.shape == leaf.shape, f"{key}: {val.shape} != {leaf.shape}"
         leaves.append(val.astype(leaf.dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_params_orbax(path: str | Path, params) -> None:
+    """Sharding-aware checkpoint via Orbax (multi-host safe: each process
+    writes its addressable shards; restores re-shard to the target mesh)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, params, force=True)
+
+
+def load_params_orbax(path: str | Path, like):
+    """Restore an Orbax checkpoint into the structure/shardings of ``like``
+    (a params pytree of jax arrays or ShapeDtypeStructs)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=getattr(x, "sharding", None)
+        ),
+        like,
+    )
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, abstract)

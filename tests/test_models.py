@@ -200,3 +200,13 @@ def test_freeze_matches_training_apply():
     frozen = layer.freeze(params, batch_hint=16, dtype=jnp.float32)
     y_frozen = np.asarray(frozen(x))
     np.testing.assert_allclose(y_frozen, y_train, rtol=1e-4, atol=1e-4)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, model):
+    from sparta_tpu.models.checkpoint import load_params_orbax, save_params_orbax
+
+    params = model.init(jax.random.key(7))
+    save_params_orbax(tmp_path / "ckpt_orbax", params)
+    restored = load_params_orbax(tmp_path / "ckpt_orbax", params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
