@@ -84,12 +84,14 @@ def main():
         from sparta_tpu.bench.plots import (
             load_results,
             plot_blocking_quality,
+            plot_speedup_heatmap,
             plot_spmm_times,
         )
 
         df = load_results(out / "campaign.csv")
         plot_blocking_quality(df, out / "blocking_quality.png")
         plot_spmm_times(df, out / "spmm_times.png")
+        plot_speedup_heatmap(df, out / "speedup_heatmap.png")
         log(f"plots -> {out}")
     except Exception as e:  # noqa: BLE001 — plots are best-effort
         log(f"plotting failed: {type(e).__name__}: {e}")

@@ -103,3 +103,48 @@ def plot_spmm_times(df: pd.DataFrame, out_png: str | Path) -> None:
     fig.tight_layout()
     fig.savefig(out_png, dpi=120)
     plt.close(fig)
+
+
+def plot_speedup_heatmap(df: pd.DataFrame, out_png: str | Path,
+                         baseline_exp: str = "CSR") -> None:
+    """Method x matrix heatmap of speedup vs a baseline bundle — the
+    reference's images/*heatmap_Speed-up against {CSR,cuSparse}* analog."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    d = df.copy()
+    d["matrix"] = d["matrix"].map(lambda p: Path(str(p)).stem)
+    base = (
+        d[d["exp_name"] == baseline_exp]
+        .set_index("matrix")["avg_time_multiply"]
+    )
+    methods = [e for e in d["exp_name"].unique() if e != baseline_exp]
+    matrices = sorted(base.index.unique())
+    grid = np.full((len(methods), len(matrices)), np.nan)
+    for i, exp in enumerate(methods):
+        sub = d[d["exp_name"] == exp].set_index("matrix")["avg_time_multiply"]
+        for j, mat in enumerate(matrices):
+            if mat in sub.index and mat in base.index:
+                t = sub.loc[mat]
+                t = t.iloc[0] if hasattr(t, "iloc") else t
+                if t and t > 0:
+                    grid[i, j] = float(base.loc[mat]) / float(t)
+
+    fig, ax = plt.subplots(
+        figsize=(1.6 + 1.1 * len(matrices), 1.2 + 0.55 * len(methods)))
+    im = ax.imshow(np.log10(grid), cmap="RdYlGn", aspect="auto",
+                   vmin=-1, vmax=3)
+    ax.set_xticks(range(len(matrices)), matrices, rotation=30, ha="right")
+    ax.set_yticks(range(len(methods)), methods)
+    for i in range(len(methods)):
+        for j in range(len(matrices)):
+            if np.isfinite(grid[i, j]):
+                ax.text(j, i, f"{grid[i, j]:.1f}x", ha="center", va="center",
+                        fontsize=8)
+    ax.set_title(f"Speed-up against {baseline_exp}")
+    fig.colorbar(im, ax=ax, label="log10 speedup")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
+    plt.close(fig)

@@ -132,13 +132,20 @@ def cmd_collect(args):
 
 
 def cmd_plot(args):
-    from .bench.plots import load_results, plot_blocking_quality, plot_spmm_times
+    from .bench.plots import (
+        load_results,
+        plot_blocking_quality,
+        plot_speedup_heatmap,
+        plot_spmm_times,
+    )
 
     df = load_results(args.csv)
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
     plot_blocking_quality(df, out / "blocking_quality.png")
     plot_spmm_times(df, out / "spmm_times.png")
+    if (df["exp_name"] == "CSR").any():
+        plot_speedup_heatmap(df, out / "speedup_heatmap.png")
     print(f"wrote plots to {out}")
 
 
