@@ -145,17 +145,27 @@ class BlockSparseLinear:
             self.out_dim * self.in_dim
         )
 
-    def freeze(self, params, batch_hint: int = 512, dtype=None):
+    def freeze(self, params, batch_hint: int = 512, dtype=None,
+               activation: str | None = None):
         """Inference-optimized apply: pack the trained weights into the
         padded compact layout and pick the fastest kernel (ops.plan_spmm;
         on v5e the guard-free unrolled kernel when a B tile fits VMEM).
+        When the unrolled kernel applies, the bias add (and optional
+        ``activation='relu'``) is FUSED into the kernel's output stage —
+        separate XLA elementwise ops cost an extra HBM round trip of the
+        output because XLA cannot fuse into a custom call.
 
         Returns ``apply(x) -> y`` closed over the frozen weights. Training
         keeps the ELL layout (the custom VJP's gradients are shaped like
         ``params['vals']``); freeze once when weights stop changing."""
         from ..formats.bell import BELL
-        from ..ops import plan_spmm
+        from ..ops import (
+            bell_spmm_pallas_compact_unrolled_epilogue,
+            plan_spmm,
+        )
 
+        if activation not in (None, "relu"):
+            raise ValueError(f"unsupported activation {activation!r}")
         nbr = self.cols_idx.shape[0]
         nbc = ceil_div(self.in_dim, self.block)
         bell = BELL(
@@ -168,12 +178,25 @@ class BlockSparseLinear:
             shape=(nbr * self.block, nbc * self.block),
             orig_shape=(self.out_dim, self.in_dim),
         )
-        plan = plan_spmm(bell, batch_hint, dtype=dtype or jnp.bfloat16)
+        plan_dtype = dtype or jnp.bfloat16
+        plan = plan_spmm(bell, batch_hint, dtype=plan_dtype)
         bias = params.get("bias") if self.use_bias else None
         K = nbc * self.block
         out_dim = self.out_dim
 
-        plan_dtype = dtype or jnp.bfloat16
+        fused = None
+        if bias is not None and "unrolled" in plan.backend:
+            from ..ops import compact_from_host_padded
+
+            cdev = compact_from_host_padded(bell, plan.chunk, dtype=plan_dtype)
+            bias_pad = jnp.zeros((nbr * self.block,), dtype=jnp.float32)
+            bias_pad = bias_pad.at[:out_dim].set(bias.astype(jnp.float32))
+
+            def fused(xt, cdev=cdev, bias_pad=bias_pad):
+                return bell_spmm_pallas_compact_unrolled_epilogue(
+                    cdev, xt, bias_pad, tn=plan.tn, chunk=plan.chunk,
+                    relu=activation == "relu",
+                )
 
         def apply(x: jax.Array) -> jax.Array:
             lead = x.shape[:-1]
@@ -186,9 +209,14 @@ class BlockSparseLinear:
             n = x2.shape[0]
             n_pad = -(-n // plan.tn) * plan.tn
             xt = jnp.zeros((K, n_pad), dtype=x2.dtype).at[:, :n].set(x2.T)
-            y = plan(xt)[:out_dim, :n].T
-            if bias is not None:
-                y = y + bias.astype(y.dtype)
+            if fused is not None:
+                y = fused(xt)[:out_dim, :n].T
+            else:
+                y = plan(xt)[:out_dim, :n].T
+                if bias is not None:
+                    y = y + bias.astype(y.dtype)
+                if activation == "relu":
+                    y = jax.nn.relu(y)
             return y.reshape(*lead, out_dim)
 
         return apply

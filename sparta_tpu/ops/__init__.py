@@ -5,6 +5,7 @@ from .bell_compact import (
     bell_spmm_pallas_compact_gather,
     bell_spmm_pallas_compact_multirow,
     bell_spmm_pallas_compact_unrolled,
+    bell_spmm_pallas_compact_unrolled_epilogue,
     compact_auto_chunk,
     compact_from_host_padded,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "bell_spmm_pallas_compact_gather",
     "bell_spmm_pallas_compact_multirow",
     "bell_spmm_pallas_compact_unrolled",
+    "bell_spmm_pallas_compact_unrolled_epilogue",
     "compact_from_host_padded",
     "compact_auto_chunk",
     "bell_spmm_xla",

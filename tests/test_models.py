@@ -210,3 +210,20 @@ def test_orbax_checkpoint_roundtrip(tmp_path, model):
     restored = load_params_orbax(tmp_path / "ckpt_orbax", params)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_freeze_fused_epilogue_matches():
+    """freeze(activation='relu') fused path == reference elementwise path."""
+    from sparta_tpu.models import BlockSparseLinear
+
+    layer = BlockSparseLinear.create(jax.random.key(8), 256, 256, block=128,
+                                     block_density=0.5)
+    params = layer.init(jax.random.key(9))
+    x = jnp.asarray(
+        np.random.default_rng(10).standard_normal((8, 256)).astype(np.float32)
+    )
+    frozen = layer.freeze(params, batch_hint=128, dtype=jnp.float32,
+                          activation="relu")
+    y = np.asarray(frozen(x))
+    y_ref = np.maximum(np.asarray(layer.apply(params, x)), 0)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)

@@ -299,3 +299,26 @@ def test_plan_spmm_unrolled_and_gather_paths():
         np.testing.assert_allclose(C[:512], C_ref, rtol=1e-4, atol=1e-4)
     finally:
         sel.VMEM_BUDGET = old
+
+
+@pytest.mark.parametrize("relu", [False, True])
+def test_bell_spmm_unrolled_epilogue(problem, relu):
+    from sparta_tpu.ops import (
+        bell_spmm_pallas_compact_unrolled_epilogue,
+        compact_from_host_padded,
+    )
+
+    m, bell, B, C_ref = problem
+    dev = compact_from_host_padded(bell, 2)
+    nbr_rows = dev.row_ptr.shape[0] - 1
+    bh = bell.block_row_size
+    bias = np.random.default_rng(9).standard_normal(nbr_rows * bh).astype(np.float32)
+    C = np.asarray(
+        bell_spmm_pallas_compact_unrolled_epilogue(
+            dev, jnp.asarray(B), jnp.asarray(bias), tn=32, chunk=2, relu=relu
+        )
+    )
+    want = C_ref + bias[: m.rows, None] if False else C_ref + bias[: m.rows].reshape(-1, 1)
+    if relu:
+        want = np.maximum(want, 0)
+    np.testing.assert_allclose(C[: m.rows], want, rtol=1e-5, atol=1e-5)
