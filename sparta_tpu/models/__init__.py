@@ -1,4 +1,10 @@
-from .gcn import GCN, GCNConfig, make_gcn_train_step, normalize_adjacency
+from .gcn import (
+    GCN,
+    GCNConfig,
+    make_gcn_train_step,
+    make_sharded_gcn_apply,
+    normalize_adjacency,
+)
 from .layers import BlockSparseLinear, make_block_mask
 from .train import lm_loss, make_sharded_train_step, make_train_step
 from .transformer import BlockSparseTransformer, TransformerConfig
@@ -9,6 +15,7 @@ __all__ = [
     "GCN",
     "GCNConfig",
     "make_gcn_train_step",
+    "make_sharded_gcn_apply",
     "normalize_adjacency",
     "TransformerConfig",
     "lm_loss",

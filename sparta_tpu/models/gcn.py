@@ -151,3 +151,68 @@ def make_gcn_train_step(model: GCN, optimizer):
         return params, opt_state, loss
 
     return step
+
+
+def make_sharded_gcn_apply(model: GCN, mesh):
+    """Row-sharded GCN forward over a device mesh: adjacency block-rows and
+    node activations sharded along the mesh axis; each layer all-gathers H
+    (every chip's rows can reference any column block of A_hat), multiplies
+    its resident block-rows locally on the MXU, and keeps the output rows
+    sharded. The dense feature transform stays local to the row shard.
+
+    Returns ``apply(params, X) -> logits`` (original node order, replicated
+    output). X is consumed replicated; pass n_devices-divisible padded
+    shapes via the model's block padding (already guaranteed: nbr * block).
+    """
+    import jax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    nbr, max_nb, bh, bw = model.adj_vals.shape
+    if nbr % n_dev:
+        raise ValueError(
+            f"n_block_rows={nbr} not divisible by {n_dev} devices; rebuild "
+            f"the GCN with block such that (padded rows / block) % devices == 0"
+        )
+    n_pad_rows = nbr * bh
+    cfg = model.cfg
+    dtype = model.adj_vals.dtype
+
+    def local_layer(ci, nb, av, h_full, w, b):
+        # ci/nb/av: this shard's block-rows; h_full: replicated [n_pad, F]
+        out = bell_spmm(ci, nb, av, jax.default_backend() == "tpu", h_full)
+        h = out @ w.astype(out.dtype) + b.astype(out.dtype)
+        return h  # [n_pad/n_dev, F_out] row shard
+
+    sharded_layer = shard_map(
+        local_layer, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis, None, None, None),
+                  P(None, None), P(None, None), P(None)),
+        out_specs=P(axis, None),
+        check_rep=False,
+    )
+
+    sh = lambda *spec: NamedSharding(mesh, P(*spec))
+    ci = jax.device_put(model.cols_idx, sh(axis, None))
+    nb = jax.device_put(model.nb_row, sh(axis))
+    av = jax.device_put(model.adj_vals, sh(axis, None, None, None))
+    inv = np.argsort(model.perm)
+
+    @jax.jit
+    def apply(params, X):
+        H = jnp.zeros((n_pad_rows, X.shape[1]), dtype=dtype)
+        H = H.at[: model.n_nodes].set(X[jnp.asarray(model.perm)].astype(dtype))
+        nlayers = len(params["layers"])
+        for i, lp in enumerate(params["layers"]):
+            # all-gather the row shard back to replicated for the next
+            # aggregation (A_hat columns span every shard)
+            H = sharded_layer(ci, nb, av, H, lp["w"], lp["b"])
+            H = jax.lax.with_sharding_constraint(H, sh(None, None))
+            if i < nlayers - 1:
+                H = jax.nn.relu(H)
+        out = H[: model.n_nodes].astype(jnp.float32)
+        return out[jnp.asarray(inv)]
+
+    return apply

@@ -227,3 +227,25 @@ def test_freeze_fused_epilogue_matches():
     y = np.asarray(frozen(x))
     y_ref = np.maximum(np.asarray(layer.apply(params, x)), 0)
     np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_gcn_matches_single_device():
+    from sparta_tpu.formats.csr import random_block_csr
+    from sparta_tpu.models import GCN, GCNConfig, make_sharded_gcn_apply
+    from sparta_tpu.parallel import make_mesh
+
+    n, block = 256, 8   # 32 block-rows / 8 devices
+    adj = random_block_csr(n, n, block=block, block_density=0.2,
+                           intra_density=0.5, seed=23)
+    cfg = GCNConfig(in_dim=16, hidden_dim=24, out_dim=4, n_layers=2,
+                    block=block, tau=0.5)
+    model = GCN.create(adj, cfg)
+    params = model.init(jax.random.key(2))
+    X = jnp.asarray(
+        np.random.default_rng(6).standard_normal((n, 16)).astype(np.float32)
+    )
+    y_single = np.asarray(model.apply(params, X))
+    mesh = make_mesh(8)
+    sharded = make_sharded_gcn_apply(model, mesh)
+    y_sharded = np.asarray(sharded(params, X))
+    np.testing.assert_allclose(y_sharded, y_single, rtol=1e-4, atol=1e-4)
