@@ -165,7 +165,7 @@ def make_sharded_gcn_apply(model: GCN, mesh):
     shapes via the model's block padding (already guaranteed: nbr * block).
     """
     import jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     axis = mesh.axis_names[0]
@@ -191,7 +191,6 @@ def make_sharded_gcn_apply(model: GCN, mesh):
         in_specs=(P(axis, None), P(axis), P(axis, None, None, None),
                   P(None, None), P(None, None), P(None)),
         out_specs=P(axis, None),
-        check_rep=False,
     )
 
     sh = lambda *spec: NamedSharding(mesh, P(*spec))
