@@ -35,18 +35,22 @@ def bell_spmm_xla(bell: BellDevice, B: jax.Array, accum_dtype=jnp.float32) -> ja
     # keeps gradients w.r.t. padding values at zero under autodiff
     valid = (bell.cols_idx >= 0).astype(bell.vals.dtype)
 
-    def step(acc, k):
+    def term(k):
         stripes = Bt[safe_idx[:, k]]  # [nbr, bw, N] gather
-        prod = jax.lax.dot_general(
+        return jax.lax.dot_general(
             bell.vals[:, k] * valid[:, k, None, None],
             stripes,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=accum_dtype,
         )  # [nbr, bh, N]
-        return acc + prod, None
 
-    acc0 = jnp.zeros((nbr, bh, N), dtype=accum_dtype)
-    acc, _ = jax.lax.scan(step, acc0, jnp.arange(max_nb))
+    def step(acc, k):
+        return acc + term(k), None
+
+    # seed the carry with term 0 (not a fresh zeros buffer): under
+    # shard_map the terms are device-varying and a replicated zero carry
+    # trips the varying-manual-axes check in the scan
+    acc, _ = jax.lax.scan(step, term(0), jnp.arange(1, max_nb))
     return acc.reshape(nbr * bh, N).astype(B.dtype)
 
 
