@@ -86,7 +86,11 @@ def main():
     run_steps(1)  # compile
     t5, _ = run_steps(5)
     t15, loss_val = run_steps(15)
-    t_s = max((t15 - t5) / 10, 1e-9)  # differential: cancels fixed overhead
+    t_s = (t15 - t5) / 10  # differential: cancels fixed overhead
+    if t_s <= 0:
+        raise RuntimeError(
+            "non-positive differential train-step time — tunnel measurement "
+            "unreliable, re-run")
     log(f"train step: {t_s*1e3:.1f} ms  loss={loss_val:.4f}")
     loss = loss_val
 

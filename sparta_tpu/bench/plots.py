@@ -116,21 +116,22 @@ def plot_speedup_heatmap(df: pd.DataFrame, out_png: str | Path,
 
     d = df.copy()
     d["matrix"] = d["matrix"].map(lambda p: Path(str(p)).stem)
-    base = (
-        d[d["exp_name"] == baseline_exp]
-        .set_index("matrix")["avg_time_multiply"]
+    # best (min) time per (bundle, matrix): sweep grids produce several
+    # rows per cell (taus, block sizes)
+    best = (
+        d.groupby(["exp_name", "matrix"])["avg_time_multiply"].min()
     )
+    base = best.loc[baseline_exp]
     methods = [e for e in d["exp_name"].unique() if e != baseline_exp]
     matrices = sorted(base.index.unique())
     grid = np.full((len(methods), len(matrices)), np.nan)
     for i, exp in enumerate(methods):
-        sub = d[d["exp_name"] == exp].set_index("matrix")["avg_time_multiply"]
+        sub = best.loc[exp]
         for j, mat in enumerate(matrices):
             if mat in sub.index and mat in base.index:
-                t = sub.loc[mat]
-                t = t.iloc[0] if hasattr(t, "iloc") else t
-                if t and t > 0:
-                    grid[i, j] = float(base.loc[mat]) / float(t)
+                t = float(sub.loc[mat])
+                if t > 0:
+                    grid[i, j] = float(base.loc[mat]) / t
 
     fig, ax = plt.subplots(
         figsize=(1.6 + 1.1 * len(matrices), 1.2 + 0.55 * len(methods)))

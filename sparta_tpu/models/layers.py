@@ -180,6 +180,7 @@ class BlockSparseLinear:
         )
         plan_dtype = dtype or jnp.bfloat16
         plan = plan_spmm(bell, batch_hint, dtype=plan_dtype)
+        plan_tn, plan_chunk = plan.tn, plan.chunk
         bias = params.get("bias") if self.use_bias else None
         K = nbc * self.block
         out_dim = self.out_dim
@@ -188,13 +189,16 @@ class BlockSparseLinear:
         if bias is not None and "unrolled" in plan.backend:
             from ..ops import compact_from_host_padded
 
-            cdev = compact_from_host_padded(bell, plan.chunk, dtype=plan_dtype)
+            cdev = compact_from_host_padded(bell, plan_chunk, dtype=plan_dtype)
             bias_pad = jnp.zeros((nbr * self.block,), dtype=jnp.float32)
             bias_pad = bias_pad.at[:out_dim].set(bias.astype(jnp.float32))
+            # release the plan: its closure holds an identical compact
+            # device — keeping both doubles the frozen weights in HBM
+            plan = None
 
             def fused(xt, cdev=cdev, bias_pad=bias_pad):
                 return bell_spmm_pallas_compact_unrolled_epilogue(
-                    cdev, xt, bias_pad, tn=plan.tn, chunk=plan.chunk,
+                    cdev, xt, bias_pad, tn=plan_tn, chunk=plan_chunk,
                     relu=activation == "relu",
                 )
 
@@ -207,7 +211,7 @@ class BlockSparseLinear:
             if x2.shape[1] < K:
                 x2 = jnp.pad(x2, ((0, 0), (0, K - x2.shape[1])))
             n = x2.shape[0]
-            n_pad = -(-n // plan.tn) * plan.tn
+            n_pad = -(-n // plan_tn) * plan_tn
             xt = jnp.zeros((K, n_pad), dtype=x2.dtype).at[:, :n].set(x2.T)
             if fused is not None:
                 y = fused(xt)[:out_dim, :n].T

@@ -543,18 +543,20 @@ def _kernel_unrolled(
     cols_ref,      # int32 [total] (SMEM)
     vals_hbm,      # [total, bh, bw] (HBM)
     b_hbm,         # [K, N] (HBM)
-    out_ref,       # [bh, tn] (VMEM)
-    b_tile,        # [K, tn] persistent VMEM scratch
-    vbuf,          # [nslots, chunk, bh, bw] VMEM
-    acc_ref,       # [bh, tn] fp32
-    bsem,          # DMA sem
-    vsems,         # DMA sems (nslots,)
-    *,
+    *refs,         # [bias_ref f32 [nbr,1,bh] if has_bias,] out_ref,
+                   # b_tile, vbuf, acc_ref, bsem, vsems
     bw: int,
     tn: int,
     chunk: int,
     nslots: int,
+    has_bias: bool = False,
+    relu: bool = False,
 ):
+    if has_bias:
+        bias_ref, out_ref, b_tile, vbuf, acc_ref, bsem, vsems = refs
+    else:
+        out_ref, b_tile, vbuf, acc_ref, bsem, vsems = refs
+        bias_ref = None
     j = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -602,7 +604,12 @@ def _kernel_unrolled(
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
-    out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+    y = acc_ref[...]
+    if has_bias:
+        y = y + bias_ref[0, 0][:, None]
+        if relu:
+            y = jnp.maximum(y, 0.0)
+    out_ref[...] = y.astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -812,83 +819,9 @@ def bell_spmm_pallas_compact_gather(
     )(bell.row_ptr, bell.cols_flat, bell.vals_flat, B)
 
 
-def _kernel_unrolled_epilogue(
-    row_ptr_ref,   # int32 [nbr+1] (SMEM), counts multiples of chunk
-    cols_ref,      # int32 [total] (SMEM)
-    vals_hbm,      # [total, bh, bw] (HBM)
-    b_hbm,         # [K, N] (HBM)
-    bias_ref,      # f32 [nbr, 1, bh] (VMEM block: [1, 1, bh] per block-row)
-    out_ref,       # [bh, tn] (VMEM)
-    b_tile,        # [K, tn] persistent VMEM scratch
-    vbuf,          # [2, chunk, bh, bw] VMEM
-    acc_ref,       # [bh, tn] fp32
-    bsem,
-    vsems,
-    *,
-    bw: int,
-    tn: int,
-    chunk: int,
-    relu: bool,
-):
-    """Unrolled compact kernel + fused epilogue: out = act(A@B + bias).
-
-    The bias add and activation ride in the kernel's output stage, saving
-    the extra HBM round trip of C that separate XLA elementwise ops cost
-    (XLA cannot fuse INTO a custom call)."""
-    j = pl.program_id(0)
-    i = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _():
-        cp = pltpu.make_async_copy(
-            b_hbm.at[:, pl.ds(j * tn, tn)], b_tile, bsem
-        )
-        cp.start()
-        cp.wait()
-
-    start = row_ptr_ref[i]
-    nchunks = (row_ptr_ref[i + 1] - start) // chunk
-
-    def vdma(c, slot):
-        return pltpu.make_async_copy(
-            vals_hbm.at[pl.ds(start + c * chunk, chunk)],
-            vbuf.at[slot],
-            vsems.at[slot],
-        )
-
-    @pl.when(nchunks > 0)
-    def _():
-        vdma(0, 0).start()
-
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    def body(c, _):
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < nchunks)
-        def _():
-            vdma(c + 1, jax.lax.rem(c + 1, 2)).start()
-
-        vdma(c, slot).wait()
-        for k in range(chunk):
-            jb = cols_ref[start + c * chunk + k]
-            acc_ref[...] += jax.lax.dot(
-                vbuf[slot, k],
-                b_tile[pl.ds(jb * bw, bw), :],
-                preferred_element_type=jnp.float32,
-            )
-        return 0
-
-    jax.lax.fori_loop(0, nchunks, body, 0)
-    y = acc_ref[...] + bias_ref[0, 0][:, None]
-    if relu:
-        y = jnp.maximum(y, 0.0)
-    out_ref[...] = y.astype(out_ref.dtype)
-
-
 @functools.partial(
     jax.jit,
-    static_argnames=("tn", "chunk", "relu", "out_dtype", "interpret"),
+    static_argnames=("tn", "chunk", "nslots", "relu", "out_dtype", "interpret"),
 )
 def bell_spmm_pallas_compact_unrolled_epilogue(
     bell: BellCompactDevice,
@@ -896,12 +829,15 @@ def bell_spmm_pallas_compact_unrolled_epilogue(
     bias: jax.Array,   # f32 [nbr * bh] (padded row space)
     tn: int = 512,
     chunk: int = 4,
+    nslots: int = 2,
     relu: bool = False,
     out_dtype=None,
     interpret: bool = False,
 ) -> jax.Array:
     """out = act(A @ B + bias[:, None]) with the epilogue fused into the
-    kernel's output stage. ``bell`` from compact_from_host_padded."""
+    (unified) unrolled kernel's output stage — the bias add and activation
+    cost no extra HBM round trip of the output (XLA cannot fuse into a
+    custom call). ``bell`` from compact_from_host_padded."""
     total, bh, bw = bell.vals_flat.shape
     nbr = bell.n_block_rows
     K, N = B.shape
@@ -917,7 +853,8 @@ def bell_spmm_pallas_compact_unrolled_epilogue(
     bias2 = bias.astype(jnp.float32).reshape(nbr, 1, bh)
 
     kernel = functools.partial(
-        _kernel_unrolled_epilogue, bw=bw, tn=tn, chunk=chunk, relu=relu
+        _kernel_unrolled, bw=bw, tn=tn, chunk=chunk, nslots=nslots,
+        has_bias=True, relu=relu,
     )
     return pl.pallas_call(
         kernel,
@@ -935,10 +872,10 @@ def bell_spmm_pallas_compact_unrolled_epilogue(
             ),
             scratch_shapes=[
                 pltpu.VMEM((K, tn), B.dtype),
-                pltpu.VMEM((2, chunk, bh, bw), bell.vals_flat.dtype),
+                pltpu.VMEM((nslots, chunk, bh, bw), bell.vals_flat.dtype),
                 pltpu.VMEM((bh, tn), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((nslots,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),

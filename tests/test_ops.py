@@ -318,7 +318,7 @@ def test_bell_spmm_unrolled_epilogue(problem, relu):
             dev, jnp.asarray(B), jnp.asarray(bias), tn=32, chunk=2, relu=relu
         )
     )
-    want = C_ref + bias[: m.rows, None] if False else C_ref + bias[: m.rows].reshape(-1, 1)
+    want = C_ref + bias[: m.rows, None]
     if relu:
         want = np.maximum(want, 0)
     np.testing.assert_allclose(C[: m.rows], want, rtol=1e-5, atol=1e-5)
