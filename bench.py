@@ -102,7 +102,12 @@ def main():
             except Exception as e:  # noqa: BLE001 — record and continue
                 log(f"{name:16s}: attempt {attempt+1} FAILED "
                     f"{type(e).__name__}: {e}")
-                if attempt < 2 and not wait_for_device():
+                # probe from a fresh process: a worker crash poisons THIS
+                # process's client, so an in-process probe would fail for
+                # the full wait even after the worker recovers. If the
+                # in-process retry still fails, the kernel is recorded as
+                # failed and the headline falls back gracefully.
+                if attempt < 2 and not wait_for_device(subprocess_probe=True):
                     break
 
     bench("bell_xla", lambda b: bell_spmm_xla(dev, b), B, flops)

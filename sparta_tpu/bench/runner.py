@@ -68,13 +68,6 @@ def load_matrix(cfg) -> CSR:
     return m
 
 
-def auto_tile_n(n: int) -> int:
-    for tn in (512, 256, 128):
-        if n % tn == 0:
-            return tn
-    return n  # small n: single tile
-
-
 def make_backend(cfg, m: CSR, engine: BlockingEngine):
     """Returns (fn(B)->C, B_shape, backend_name, flops_per_call)."""
     import jax.numpy as jnp
@@ -142,8 +135,10 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
                 and cfg.col_block_size % 128 == 0 and N % 128 == 0:
             from ..ops import VbrPallasDevice, vbr_spmm_pallas
 
+            from ..ops.select import auto_tile_n
+
             pdev = VbrPallasDevice.from_host(vbr, dtype=dtype)
-            tn = cfg.tile_n or next(t for t in (512, 256, 128) if N % t == 0)
+            tn = cfg.tile_n or auto_tile_n(N)
             return (
                 lambda B: vbr_spmm_pallas(pdev, B, tn=tn),
                 (K, N),
@@ -190,10 +185,12 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
             m_r = m if grouping is None else m.permute_rows(
                 get_permutation(get_fixed_size_grouping(grouping, cfg.row_block_size)))
             mt = _CSR.from_scipy(m_r.to_scipy().T.tocsr())
+            from ..ops.select import auto_tile_n
+
             bell_t = bell_from_csr(mt, None,
                                    block_row_size=cfg.col_block_size,
                                    block_col_size=cfg.row_block_size)
-            tn = cfg.tile_n or next(t for t in (512, 256, 128) if N % t == 0)
+            tn = cfg.tile_n or auto_tile_n(N)
             plan = plan_spmm(bell_t, N, dtype=dtype, tile_n=tn)
             return (
                 lambda B: plan(B.T).T,
@@ -225,21 +222,30 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
         Np = round_up(N, 128)
         fl = 2 * bell.total_nzblocks * bell.block_row_size * bell.block_col_size * Np
 
+        from ..ops.select import VMEM_BUDGET, auto_tile_n, unrolled_vmem_bytes
+
         if cfg.dtype == "int8" and bell.block_row_size % 8 == 0                 and bell.block_col_size % 128 == 0:
             from ..ops import bell_spmm_int8_unrolled, compact_auto_chunk, quantize_b
             from ..ops.quant import QBellCompactDevice
 
             chunk = compact_auto_chunk(bell.nb_row)
-            qc = QBellCompactDevice.from_bell(bell, chunk=chunk)
             bw = bell.block_col_size
-            tn = cfg.tile_n or (512 if Np % 512 == 0 else 256 if Np % 256 == 0 else 128)
+            tn = cfg.tile_n or auto_tile_n(Np)
+            # the int8 kernel keeps an int8 [K, tn] B tile resident in VMEM;
+            # large-K matrices must fall through to the bf16 plan (which has
+            # a gather path) instead of faulting the dispatch
+            fits = unrolled_vmem_bytes(
+                bell.shape[1], tn, bell.block_row_size, bw, chunk, 1
+            ) <= VMEM_BUDGET
+            if fits:
+                qc = QBellCompactDevice.from_bell(bell, chunk=chunk)
 
-            def fn(B, qc=qc, bw=bw, tn=tn, chunk=chunk):
-                Bq, bscale = quantize_b(B, bw)
-                return bell_spmm_int8_unrolled(
-                    qc, Bq.reshape(B.shape), bscale, tn=tn, chunk=chunk)
+                def fn(B, qc=qc, bw=bw, tn=tn, chunk=chunk):
+                    Bq, bscale = quantize_b(B, bw)
+                    return bell_spmm_int8_unrolled(
+                        qc, Bq.reshape(B.shape), bscale, tn=tn, chunk=chunk)
 
-            return fn, (bell.shape[1], Np), f"bell_int8_unrolled_tn{tn}_c{chunk}", fl
+                return fn, (bell.shape[1], Np), f"bell_int8_unrolled_tn{tn}_c{chunk}", fl
 
         from ..ops import plan_spmm
 

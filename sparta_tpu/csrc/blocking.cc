@@ -11,6 +11,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC blocking.cc -o libsparta_blocking.so
 
+#include <chrono>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -84,7 +85,11 @@ void merge_rows_lossy(vector<int32_t>& pat, const int32_t* row, int64_t n) {
 extern "C" {
 
 // Returns 0 on success. grouping_out[rows]; counters_out[2] =
-// {comparisons, merges}; stats_out[2] = {total_merge_tau, total_row_distance}.
+// {comparisons, merges}; stats_out[4] = {total_merge_tau, total_row_distance,
+// compare_seconds, merge_seconds}.  The merge phase (lossy merge + bitset
+// rebuild) is timed per event; compare time = sweep total minus merge time
+// (per-comparison clocks would dominate the ~100ns inner loop — the split
+// itself mirrors the reference's CLOCKED phase timers, blocking.cpp:156-243).
 int sparta_greedy_blocking(
     const int64_t* indptr, const int32_t* indices,
     int64_t rows, int64_t cols,
@@ -119,6 +124,8 @@ int sparta_greedy_blocking(
   const bool use_size = use_groups != 0;
   int64_t comparisons = 0, merges = 0;
   double total_tau = 0.0, total_rowdist = 0.0;
+  double merge_seconds = 0.0;
+  const auto t_sweep0 = std::chrono::steady_clock::now();
 
   vector<int32_t> pattern;          // element list
   Bitset pat_bits(words);
@@ -157,11 +164,14 @@ int sparta_greedy_blocking(
         total_tau += d;
         total_rowdist += double(j - i);
         if (use_pattern) {
+          const auto t0 = std::chrono::steady_clock::now();
           merge_rows_lossy(pattern, indices + indptr[j], elems[j]);
           pat_bits.clear();
           for (int32_t e : pattern) pat_bits.set(e / col_block_size);
           pat_pop = pat_bits.popcount();
           pat_elems = int64_t(pattern.size());
+          merge_seconds += std::chrono::duration<double>(
+              std::chrono::steady_clock::now() - t0).count();
         }
         if (use_size || max_size > 0) gsize++;
         if (max_size > 0 && int64_t(merged.size()) >= max_size) full = true;
@@ -195,9 +205,13 @@ int sparta_greedy_blocking(
   counters_out[1] = merges;
   stats_out[0] = total_tau;
   stats_out[1] = total_rowdist;
+  const double sweep_seconds = std::chrono::duration<double>(
+      std::chrono::steady_clock::now() - t_sweep0).count();
+  stats_out[2] = std::max(sweep_seconds - merge_seconds, 0.0);
+  stats_out[3] = merge_seconds;
   return 0;
 }
 
-int sparta_abi_version() { return 1; }
+int sparta_abi_version() { return 2; }
 
 }  // extern "C"

@@ -43,6 +43,9 @@ class BellCompactDevice:
     # static: every block-row's count is a multiple of this (1 = unpadded);
     # set by compact_from_host_padded, REQUIRED by the unrolled kernel
     chunk_multiple: int = 1
+    # static: zero safety blocks appended past row_ptr[-1] (pad_blocks);
+    # the chunked kernel's overrunning DMAs require chunk*nslots of them
+    pad_count: int = 0
 
     @property
     def n_block_rows(self) -> int:
@@ -57,11 +60,14 @@ class BellCompactDevice:
         return self.vals_flat.shape[2]
 
     def tree_flatten(self):
-        return (self.row_ptr, self.cols_flat, self.vals_flat), self.chunk_multiple
+        return (
+            (self.row_ptr, self.cols_flat, self.vals_flat),
+            (self.chunk_multiple, self.pad_count),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, chunk_multiple=aux)
+        return cls(*children, chunk_multiple=aux[0], pad_count=aux[1])
 
     @classmethod
     def from_host(cls, bell: BELL, dtype=jnp.float32) -> "BellCompactDevice":
@@ -98,6 +104,7 @@ class BellCompactDevice:
             cols_flat=jnp.asarray(cols),
             vals_flat=vals,
             chunk_multiple=self.chunk_multiple,
+            pad_count=self.pad_count + extra,
         )
 
     def pad_rows(self, multiple: int) -> "BellCompactDevice":
@@ -114,6 +121,7 @@ class BellCompactDevice:
             cols_flat=self.cols_flat,
             vals_flat=self.vals_flat,
             chunk_multiple=self.chunk_multiple,
+            pad_count=self.pad_count,
         )
 
 
@@ -463,6 +471,13 @@ def bell_spmm_pallas_compact_chunked(
     K, N = B.shape
     if N % tn:
         raise ValueError(f"N={N} not a multiple of tile {tn}")
+    if bell.pad_count < chunk * nslots:
+        raise ValueError(
+            f"chunked kernel needs {chunk * nslots} safety padding blocks "
+            f"(device has {bell.pad_count}); build with "
+            f"BellCompactDevice.pad_blocks({chunk * nslots}) — the last "
+            f"row's chunk DMA may overrun the flat vals/cols streams"
+        )
     out_dtype = out_dtype or B.dtype
     interpret = interpret or jax.default_backend() == "cpu"
 

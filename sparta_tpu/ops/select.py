@@ -27,6 +27,27 @@ from .device import BellDevice
 VMEM_BUDGET = 12 * 2**20  # resident-B tile budget out of ~16MB/core
 
 
+def auto_tile_n(n: int) -> int:
+    """Largest of (512, 256, 128) dividing ``n``; the single tile rule for
+    every caller (runner, plan_spmm, int8 path)."""
+    for t in (512, 256, 128):
+        if n % t == 0:
+            return t
+    raise ValueError(f"N={n} is not a multiple of 128; pad the operand first")
+
+
+def unrolled_vmem_bytes(K: int, tn: int, bh: int, bw: int, chunk: int,
+                        itemsize: int, nslots: int = 2) -> int:
+    """VMEM footprint of the unrolled compact kernel: resident B tile +
+    double-buffered vals + fp32 accumulator + double-buffered out tile."""
+    return (
+        K * tn * itemsize                 # resident B tile
+        + nslots * chunk * bh * bw * itemsize  # vals pipeline
+        + bh * tn * 4                     # fp32 accumulator
+        + 2 * bh * tn * itemsize          # double-buffered out block
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class SpmmPlan:
     """A ready-to-call SpMM: ``fn(B) -> C`` with B [K, N] (padded to the
@@ -50,15 +71,15 @@ def plan_spmm(bell: BELL, N: int, dtype=jnp.float32,
     bh, bw = bell.block_row_size, bell.block_col_size
     K = bell.shape[1]
     Np = -(-N // 128) * 128
-    tn = tile_n or next(t for t in (512, 256, 128) if Np % t == 0)
+    tn = tile_n or auto_tile_n(Np)
     itemsize = jnp.dtype(dtype).itemsize
 
     if bh % 8 or bw % 128:
         dev = BellDevice.from_host(bell, dtype=dtype)
         return SpmmPlan(lambda B: bell_spmm_xla(dev, B), "bell_xla", tn)
 
-    if K * tn * itemsize <= VMEM_BUDGET:
-        chunk = compact_auto_chunk(bell.nb_row)
+    chunk = compact_auto_chunk(bell.nb_row)
+    if unrolled_vmem_bytes(K, tn, bh, bw, chunk, itemsize) <= VMEM_BUDGET:
         cdev = compact_from_host_padded(bell, chunk, dtype=dtype)
         return SpmmPlan(
             lambda B: bell_spmm_pallas_compact_unrolled(

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import bisect
 import dataclasses
+import time
 
 import numpy as np
 
@@ -36,6 +37,10 @@ class BlockingStats:
     merge_counter: int = 0
     total_merge_tau: float = 0.0
     total_row_distance: float = 0.0
+    # phase timers (seconds): distance passes vs pattern merges — the
+    # reference's time_to_compare / time_to_merge split (blocking.cpp:156-243)
+    time_comparisons: float = 0.0
+    time_merges: float = 0.0
 
     @property
     def average_merge_tau(self) -> float:
@@ -164,10 +169,12 @@ def greedy_blocking(
         while pos < cand.size and not full:
             end = min(pos + CHUNK, cand.size)
             chunk = cand[pos:end]
+            t_cmp = time.perf_counter()
             d = distance_pattern_vs_rows(
                 measure, pat.bits, sigs[chunk], pat.group_size, pat.elems,
                 row_elems[chunk],
             )
+            stats.time_comparisons += time.perf_counter() - t_cmp
             acc = d < tau if strict_less else d <= tau
             # cache distances only for rows actually visited this sweep: on a
             # merge the scan restarts after the hit, and rows past a
@@ -214,7 +221,9 @@ def greedy_blocking(
             stats.merge_counter += 1
             stats.total_merge_tau += float(d[hit])
             stats.total_row_distance += j - i
+            t_mrg = time.perf_counter()
             pat.merge(cmat, sigs, j, use_pattern, use_size or max_size is not None)
+            stats.time_merges += time.perf_counter() - t_mrg
             pos += hit + 1
             if max_size is not None and len(merged) >= max_size:
                 full = True
@@ -289,10 +298,12 @@ def structured_blocking(
         while pos < cand.size:
             end = min(pos + CHUNK, cand.size)
             chunk = cand[pos:end]
+            t_cmp = time.perf_counter()
             d = distance_pattern_vs_rows(
                 measure, pat.bits, sigs[chunk], pat.group_size, pat.elems,
                 row_elems[chunk],
             )
+            stats.time_comparisons += time.perf_counter() - t_cmp
             acc_idx = np.flatnonzero(d < tau)
             stats.comparison_counter += chunk.size
             advanced = False
@@ -314,7 +325,9 @@ def structured_blocking(
                 stats.merge_counter += 1
                 stats.total_merge_tau += float(d[t])
                 stats.total_row_distance += j - i
+                t_mrg = time.perf_counter()
                 pat.merge(cmat, sigs, j, use_pattern, use_groups)
+                stats.time_merges += time.perf_counter() - t_mrg
                 col_counts[jcols] += 1
                 touched.extend(jcols.tolist())
                 row_counter += 1

@@ -38,6 +38,7 @@ class BlockingEngine:
     force_fixed_size: bool = False
     structured_m: int = 2
     structured_n: int = 4
+    seed: int = 123  # -s; drives scramble (algo 6) like the reference's srand
     backend: str = "auto"  # auto | native | numpy
 
     # results / instrumentation (populated by get_grouping / collect_blocking_info)
@@ -68,6 +69,7 @@ class BlockingEngine:
             use_groups=cfg.sim_use_groups,
             use_pattern=cfg.sim_use_pattern,
             force_fixed_size=cfg.force_fixed_size,
+            seed=cfg.seed or 123,
         )
 
     # ------------------------------------------------------------------
@@ -131,7 +133,7 @@ class BlockingEngine:
         elif algo == BlockingType.fixed_size:
             grouping = fixed_blocking(cmat.rows, self.row_block_size)
         elif algo == BlockingType.scramble:
-            grouping = scramble_blocking(cmat.rows)
+            grouping = scramble_blocking(cmat.rows, seed=self.seed)
         else:
             raise ValueError(f"unknown blocking algo {algo}")
 
@@ -139,8 +141,11 @@ class BlockingEngine:
             grouping = get_fixed_size_grouping(grouping, self.row_block_size)
 
         self.timer_total = (time.perf_counter() - t0) * 1e6
-        self.timer_comparisons = self.timer_total  # single fused phase
-        self.timer_merges = 0.0
+        # real phase split (reference blocking.cpp:156-243): distance passes
+        # vs pattern merges, measured inside the engines; algos without a
+        # compare/merge structure (fixed, scramble) report zeros
+        self.timer_comparisons = stats.time_comparisons * 1e6
+        self.timer_merges = stats.time_merges * 1e6
         self.comparison_counter = stats.comparison_counter
         self.merge_counter = stats.merge_counter
         self.average_merge_tau = stats.average_merge_tau

@@ -92,7 +92,7 @@ def greedy_blocking(
     indices = np.ascontiguousarray(cmat.indices, dtype=np.int32)
     grouping = np.empty(cmat.rows, dtype=np.int64)
     counters = np.zeros(2, dtype=np.int64)
-    dstats = np.zeros(2, dtype=np.float64)
+    dstats = np.zeros(4, dtype=np.float64)
     rc = lib.sparta_greedy_blocking(
         indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -111,4 +111,6 @@ def greedy_blocking(
         stats.merge_counter += int(counters[1])
         stats.total_merge_tau += float(dstats[0])
         stats.total_row_distance += float(dstats[1])
+        stats.time_comparisons += float(dstats[2])
+        stats.time_merges += float(dstats[3])
     return grouping

@@ -322,3 +322,33 @@ def test_bell_spmm_unrolled_epilogue(problem, relu):
     if relu:
         want = np.maximum(want, 0)
     np.testing.assert_allclose(C[: m.rows], want, rtol=1e-5, atol=1e-5)
+
+
+def test_bell_spmm_compact_chunked_requires_padding(problem):
+    from sparta_tpu.ops import (
+        BellCompactDevice,
+        bell_spmm_pallas_compact_chunked,
+    )
+
+    m, bell, B, C_ref = problem
+    dev = BellCompactDevice.from_host(bell)  # no safety padding
+    with pytest.raises(ValueError, match="safety padding"):
+        bell_spmm_pallas_compact_chunked(dev, jnp.asarray(B), tn=32, chunk=2)
+
+
+def test_int8_backend_falls_back_on_vmem(tmp_path):
+    # huge-K matrix: the int8 resident-B tile would blow VMEM; the runner
+    # must fall through to the bf16 plan instead of faulting the dispatch
+    from sparta_tpu.bench.runner import make_backend
+    from sparta_tpu.cli import parse_args
+    from sparta_tpu.formats import random_uniform_csr
+    from sparta_tpu.reorder import BlockingEngine
+
+    K = 40960  # 40960 * 512 bytes > 12MB int8 budget
+    m = random_uniform_csr(256, K, density=0.001, seed=0)
+    cfg = parse_args(["-M", "8", "-F", "1", "-a", "2", "-b", "128",
+                      "-B", "128", "-c", "512", "--dtype", "int8"])
+    eng = BlockingEngine.from_config(cfg)
+    eng.get_grouping(m)
+    fn, b_shape, name, flops = make_backend(cfg, m, eng)
+    assert "int8" not in name

@@ -242,3 +242,43 @@ def test_hash_greedy_groups_identical_rows():
     assert g[0] == g[2] == g[4]
     assert g[1] == g[3]
     assert g[0] != g[1]
+
+
+def test_phase_timers_split():
+    # time_to_compare / time_to_merge must be real, non-degenerate phases
+    # (reference blocking.cpp:156-243): compare >> merge on a greedy run
+    # sparse signatures + moderate tau: the compare-dominant regime, like
+    # the reference's example (BASELINE.md: compare 1.988s vs merge 0.038s).
+    # At high tau (everything merges) the merge phase genuinely dominates;
+    # the timers report each engine's true phase costs either way.
+    m = random_uniform_csr(600, 600, density=0.01, seed=3)
+    for backend in ("numpy", "native"):
+        eng = BlockingEngine(
+            tau=0.4, col_block_size=16, row_block_size=16,
+            blocking_algo=BlockingType.iterative_clocked, backend=backend,
+        )
+        try:
+            eng.get_grouping(m)
+        except RuntimeError:
+            continue  # native backend not built in this environment
+        assert eng.merge_counter > 0
+        assert eng.timer_comparisons > 0.0
+        assert eng.timer_merges > 0.0
+        assert eng.timer_comparisons + eng.timer_merges <= eng.timer_total * 1.05
+        assert eng.timer_comparisons > eng.timer_merges
+
+
+def test_scramble_seed_plumbing():
+    m = random_uniform_csr(64, 64, density=0.1, seed=0)
+    g1 = BlockingEngine(blocking_algo=BlockingType.scramble, seed=1)
+    g2 = BlockingEngine(blocking_algo=BlockingType.scramble, seed=2)
+    g1b = BlockingEngine(blocking_algo=BlockingType.scramble, seed=1)
+    a, b, c = g1.get_grouping(m), g2.get_grouping(m), g1b.get_grouping(m)
+    assert not np.array_equal(a, b)
+    assert np.array_equal(a, c)
+    # -s flows from the CLI config into the engine
+    from sparta_tpu.cli import parse_args
+
+    cfg = parse_args(["-a", "6", "-s", "7"])
+    eng = BlockingEngine.from_config(cfg)
+    assert eng.seed == 7
