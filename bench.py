@@ -4,9 +4,12 @@ one chip.
 Mirrors BASELINE config 1 ("A sparse 10k x 10k, ~1% nnz synthetic blocked
 matrix, B dense n x 256, greedy reordering"): the matrix has planted
 128-blocks, rows shuffled; the pipeline must (1) recover the block structure
-by similarity reordering, (2) run blocked SpMM on the MXU, and beat the CSR
-baseline by >=2x (BASELINE.md target; the reference's own headline ratio,
-BCSR vs cuSPARSE-CSR on A100 at B_cols=8192, is 12.16x).
+by similarity reordering, (2) run blocked SpMM on the MXU, and beat every
+UNSTRUCTURED execution of the same matrix — the scatter-CSR library path,
+natural (unreordered) blocking, and densify+GEMM.  The headline is the
+speedup over the best of those three; per-baseline ratios are reported as
+extra fields.  Reference analog: BCSR 0.541 ms vs cuSPARSE-CSR 6.579 ms
+(12.2x) but vs ITS best unstructured (dense GEMM 0.093 ms) = 0.172x.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Detail table goes to stderr.
@@ -154,22 +157,44 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"int8_unrolled   : FAILED {type(e).__name__}: {e}")
 
+    # --- unstructured baselines (no reordering) ---
+    # scatter-library CSR (the literal cuSPARSE-CSR analog)
     bcoo = csr_to_bcoo(m, dtype=dtype)
     Bc = B[: m.cols]
     bench("csr_bcoo", lambda b: bcoo_spmm(bcoo, b), Bc, 2 * m.nnz * N)
 
+    # natural fixed-128 blocking, empty blocks dropped (BELLPACK-natural
+    # analog; also what csr_spmm_auto picks at block-clustered density)
+    from sparta_tpu.ops import plan_spmm
+
+    nat_bell = bell_from_csr(m, None, block_row_size=block)
+    nat_flops = 2 * nat_bell.total_nzblocks * block * block * N
+    nat_plan = plan_spmm(nat_bell, N, dtype=dtype)
+    bench("natural_blocked", nat_plan.fn, B, nat_flops)
+
+    # densify + MXU GEMM (cublas dense analog; the strongest unstructured
+    # execution at this density)
+    from sparta_tpu.ops import dense_matmul
+
+    A = jnp.asarray(m.to_dense(), dtype=dtype)
+    bench("dense", lambda b: dense_matmul(A, b), Bc, 2 * m.rows * m.cols * N)
+    del A
+
     bell_times = [v for k, v in results.items() if k.startswith("bell")]
     if not bell_times:
         print(json.dumps({
-            "metric": "reordered_blocked_spmm_speedup_vs_csr",
+            "metric": "reordered_blocked_spmm_speedup_vs_best_unstructured",
             "value": 0.0, "unit": "x", "vs_baseline": 0.0,
             "error": "all blocked kernels failed (device unavailable)",
         }), flush=True)
         return
     blocked = min(bell_times)
-    csr = results.get("csr_bcoo")
-    if csr is None:
-        log("CSR baseline failed; reporting blocked nnz/s only")
+    unstructured = {
+        k: results[k] for k in ("csr_bcoo", "natural_blocked", "dense")
+        if k in results
+    }
+    if not unstructured:
+        log("all unstructured baselines failed; reporting blocked nnz/s only")
         out = {
             "metric": "blocked_spmm_nnz_per_s",
             "value": round(m.nnz / blocked / 1e9, 3),
@@ -177,15 +202,24 @@ def main():
             "vs_baseline": 0.0,
         }
     else:
-        speedup = csr / blocked
-        # reference headline: BCSR_reord 0.541 ms vs CSR 6.579 ms (A100,
-        # B_cols 8192) = 12.16x  (BASELINE.md)
+        # The HONEST headline: reordered blocked vs the BEST unstructured
+        # execution of the same matrix (including densify+GEMM — on v5e the
+        # MXU is so fast that dense beats every gather-based sparse path at
+        # this density).  The reference's analogous best-unstructured is its
+        # dense GEMM: BCSR 0.541 ms vs dense 0.093 ms at B_cols=8192
+        # (BASELINE.md) = 0.172x — its blocked path LOSES to dense 5.8x.
+        best_name = min(unstructured, key=unstructured.get)
+        speedup = unstructured[best_name] / blocked
         out = {
-            "metric": "reordered_blocked_spmm_speedup_vs_csr",
+            "metric": "reordered_blocked_spmm_speedup_vs_best_unstructured",
             "value": round(speedup, 2),
             "unit": "x",
-            "vs_baseline": round(speedup / 12.16, 3),
+            "vs_baseline": round(speedup / 0.172, 3),
+            "best_unstructured": best_name,
+            "blocked_ms": round(blocked * 1e3, 3),
         }
+        for k, v in unstructured.items():
+            out[f"vs_{k}"] = round(v / blocked, 2)
     print(json.dumps(out), flush=True)
 
 

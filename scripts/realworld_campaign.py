@@ -1,0 +1,334 @@
+"""Real-world graph campaign: the reference's own shipped graphs, end-to-end.
+
+Converts BASELINE's "reproduce reference blocking-quality results on its
+test matrices" from a synthetic-fixture claim into a measured one:
+
+Phase 1 (CPU, exact): run blocking on the seven graphs the reference ships
+at data/real_world/ and compare groupings + VBR stats against the COMPILED
+reference engine (built from /root/reference sources into /tmp at run time;
+the same oracle the parity test suite uses).  Emits parity.csv.
+
+Phase 2 (real TPU): per-graph SpMM sweep — CSR baseline vs natural blocking
+vs reordered blocked Pallas path — through the standard runner (31-column
+schema), with tau chosen per graph by the phase-1 sweep.  Emits
+campaign.csv + README.md with the speedup table.
+
+Usage: python scripts/realworld_campaign.py [--out results/realworld_v5e]
+       [--skip-tpu] [--max-oracle-rows 60000]
+"""
+from __future__ import annotations
+
+import argparse
+import csv as csvmod
+import dataclasses
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REF = Path("/root/reference")
+ORACLE_DIR = Path("/tmp/sparta_oracle")
+ORACLE = ORACLE_DIR / "matrix_blocking"
+ORACLE_SOURCES = [
+    "src/general/csr.cpp",
+    "src/general/vbr.cpp",
+    "src/general/blocking.cpp",
+    "src/general/utilities.cpp",
+    "test/general/Matrix_Blocking.cpp",
+]
+# 2 GiB cap on device block values; configs over it are skipped WITH a log
+# line (power-law graphs at 128x128 can inflate VBR_nzcount ~10^4 x nnz)
+VALS_BYTES_CAP = 2 << 30
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_oracle() -> Path | None:
+    """Compile the reference's CUDA-free blocking driver as a golden oracle
+    (same recipe as tests/test_reference_parity.py)."""
+    if ORACLE.exists():
+        return ORACLE
+    if not REF.exists():
+        return None
+    ORACLE_DIR.mkdir(exist_ok=True)
+    cmd = (
+        ["g++", "-O2", "-std=c++17", "-fpermissive", "-w",
+         "-I", str(REF / "include")]
+        + [str(REF / s) for s in ORACLE_SOURCES]
+        + ["-o", str(ORACLE)]
+    )
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        return ORACLE
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            subprocess.TimeoutExpired) as e:
+        log(f"oracle build failed: {e}")
+        return None
+
+
+def run_oracle(el_path: Path, out: Path, timeout: int = 1800, **flags):
+    """Run reference Matrix_Blocking; returns (grouping, stats dict).
+
+    The reference's .el reader skips leading #/% comments AND then consumes
+    one more line as an unparsed header (csr.cpp:213-216), so the canonical
+    input gets a junk NON-comment line prepended — a '%' line would be eaten
+    by the comment skip and the first real edge would be lost as the header."""
+    import numpy as np
+
+    hacked = Path(str(el_path) + ".hdr")
+    if not hacked.exists():
+        hacked.write_text("9999 9999\n" + el_path.read_text())
+    args = [str(ORACLE), "-f", str(hacked), "-o", str(out), "-v", "0", "-P", "1"]
+    for k, v in flags.items():
+        args += [f"-{k}", str(v)]
+    subprocess.run(args, check=True, capture_output=True, timeout=timeout)
+    grouping = np.array(
+        [int(x) for x in Path(str(out) + ".g").read_text().split()],
+        dtype=np.int64,
+    )
+    with open(out) as f:
+        rows = list(csvmod.reader(f))
+    return grouping, dict(zip(rows[0], rows[1]))
+
+
+def phase1_parity(graphs: dict, out: Path, blocks, taus, max_oracle_rows: int):
+    """Blocking-quality parity vs the compiled reference. Returns
+    (parity_rows, best_tau[graph, block])."""
+    import numpy as np
+
+    from sparta_tpu.definitions import BlockingType
+    from sparta_tpu.formats import read_edgelist
+    from sparta_tpu.reorder import BlockingEngine
+
+    oracle = build_oracle()
+    rows_out = []
+    best_tau: dict[tuple[str, int], float] = {}
+
+    for name, el in graphs.items():
+        m = read_edgelist(el, pattern_only=True)
+        log(f"[parity] {name}: {m.rows}x{m.cols} nnz={m.nnz}")
+        run_ref = oracle is not None and m.rows <= max_oracle_rows
+        if oracle is not None and not run_ref:
+            log(f"[parity] {name}: oracle SKIPPED (rows > {max_oracle_rows}; "
+                f"O(n^2) scalar reference)")
+
+        for b in blocks:
+            # natural (a2) + reordered (a3, the reference default) per tau.
+            # Oracle comparison runs WITHOUT force_fixed_size: the reference's
+            # F=1 re-chop depends on std::sort's unstable tie order within
+            # groups (utilities.cpp:8-20,45-54 — not reproducible), while the
+            # raw grouping is exactly defined and compared bit-for-bit.
+            for algo, tau_list in ((2, [0.0]), (3, taus)):
+                for tau in tau_list:
+                    eng = BlockingEngine(
+                        tau=tau, col_block_size=b, row_block_size=b,
+                        blocking_algo=BlockingType(algo),
+                    )
+                    t0 = time.time()
+                    g = eng.get_grouping(m)
+                    eng.collect_blocking_info(m)
+                    dt = time.time() - t0
+                    # F=1 stats (the blocked format SpMM actually runs) for
+                    # the tau pick
+                    engF = BlockingEngine(
+                        tau=tau, col_block_size=b, row_block_size=b,
+                        blocking_algo=BlockingType(algo),
+                        force_fixed_size=True,
+                    )
+                    engF.get_grouping(m)
+                    engF.collect_blocking_info(m)
+                    row = dict(
+                        matrix=name, rows=m.rows, cols=m.cols, nonzeros=m.nnz,
+                        blocking_algo=algo, tau=tau, block_size=b,
+                        VBR_nzcount=eng.VBR_nzcount,
+                        VBR_nzblocks_count=eng.VBR_nzblocks_count,
+                        VBR_longest_row=eng.VBR_longest_row,
+                        fixed_VBR_nzblocks_count=engF.VBR_nzblocks_count,
+                        time_to_block_s=round(dt, 3),
+                        ref_VBR_nzcount="", ref_VBR_nzblocks_count="",
+                        grouping_equal="", stats_equal="",
+                    )
+                    key = (name, b)
+                    cur = best_tau.get(key)
+                    if algo == 3 and (
+                        cur is None
+                        or engF.VBR_nzblocks_count < best_tau[key][1]
+                    ):
+                        best_tau[key] = (tau, engF.VBR_nzblocks_count)
+                    if run_ref:
+                        try:
+                            ref_g, ref = run_oracle(
+                                el.parent / f"{name}.el",
+                                out / "oracle" / f"{name}_b{b}_a{algo}_t{tau}.csv",
+                                a=algo, t=tau, b=b, B=b, m=1, p=1, g=0, F=0,
+                            )
+                            row["ref_VBR_nzcount"] = int(ref["VBR_nzcount"])
+                            row["ref_VBR_nzblocks_count"] = int(
+                                ref["VBR_nzblocks_count"])
+                            row["grouping_equal"] = bool(
+                                np.array_equal(g, ref_g))
+                            row["stats_equal"] = (
+                                eng.VBR_nzcount == int(ref["VBR_nzcount"])
+                                and eng.VBR_nzblocks_count
+                                == int(ref["VBR_nzblocks_count"])
+                            )
+                        except subprocess.TimeoutExpired:
+                            row["grouping_equal"] = "timeout"
+                        except subprocess.CalledProcessError as e:
+                            row["grouping_equal"] = f"oracle_error:{e.returncode}"
+                    rows_out.append(row)
+                    log(f"[parity] {name} b={b} a={algo} t={tau}: "
+                        f"nzb={row['VBR_nzblocks_count']} "
+                        f"nzcount={row['VBR_nzcount']} "
+                        f"ref_nzb={row['ref_VBR_nzblocks_count']} "
+                        f"grouping_equal={row['grouping_equal']} ({dt:.1f}s)")
+    return rows_out, {k: v[0] for k, v in best_tau.items()}
+
+
+def pick_block_shape(m, shapes):
+    """Largest block shape whose estimated device vals stay under the cap
+    (estimated from the natural-blocking stats; reordering only shrinks it)."""
+    from sparta_tpu.definitions import BlockingType
+    from sparta_tpu.reorder import BlockingEngine
+
+    for bh, bw in shapes:
+        eng = BlockingEngine(
+            col_block_size=bw, row_block_size=bh,
+            blocking_algo=BlockingType.fixed_size,
+        )
+        eng.get_grouping(m)
+        eng.collect_blocking_info(m)
+        est = eng.VBR_nzblocks_count * bh * bw * 2  # bf16 device values
+        if est <= VALS_BYTES_CAP:
+            return (bh, bw), est
+        log(f"  block {bh}x{bw}: est vals {est/2**30:.1f} GiB > cap, "
+            f"trying smaller")
+    return None, 0
+
+
+def phase2_tpu(graphs: dict, out: Path, best_tau: dict, b_cols: int):
+    from sparta_tpu.bench.sweep import (
+        EXPERIMENT_BUNDLES,
+        collect_csvs,
+        run_sweep,
+    )
+    from sparta_tpu.cli import Config
+    from sparta_tpu.formats import read_edgelist
+
+    mat_dir = out / "matrices"
+    all_rows = []
+    for name, el in graphs.items():
+        m = read_edgelist(el, pattern_only=True)
+        shape, _est = pick_block_shape(m, [(128, 128), (32, 128), (8, 128)])
+        if shape is None:
+            log(f"[tpu] {name}: SKIPPED — no block shape fits the "
+                f"{VALS_BYTES_CAP/2**30:.0f} GiB device-values cap")
+            continue
+        bh, bw = shape
+        tau = best_tau.get((name, bw), best_tau.get((name, 128), 0.1))
+        canon = mat_dir / f"{name}.el"
+        log(f"[tpu] {name}: block {bh}x{bw} tau*={tau} b_cols={b_cols}")
+        for bundle in ("CSR", "BELLPACK_no_block", "PALLAS_blocked"):
+            flags = EXPERIMENT_BUNDLES[bundle]
+            base = Config(
+                exp_name=f"rw_{bundle}", b_cols=b_cols, tau=tau,
+                row_block_size=bh, col_block_size=bw, dtype="bfloat16",
+                pattern_only=True,
+            )
+            for k, v in flags.items():
+                setattr(base, k, v)
+            # the reference's a5 keeper needs fixed H=bh; our default algo 3
+            # + fixed-size re-chop is its exact-parity analog
+            if base.blocking_algo == 5:
+                base.blocking_algo = 3
+            try:
+                rows = run_sweep([str(canon)], {}, out / "cells", base=base,
+                                 isolate=True)
+                for r in rows:
+                    log(f"  {bundle:18s} avg {r.get('avg_time_multiply', -1):9.3f} ms"
+                        f"  backend {r.get('backend')}")
+                all_rows.extend(rows)
+            except RuntimeError as e:
+                log(f"  {bundle}: FAILED {e}")
+    n = collect_csvs(out / "cells", out / "campaign.csv")
+    log(f"[tpu] collected {n} rows -> {out/'campaign.csv'}")
+    return all_rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="results/realworld_v5e")
+    ap.add_argument("--b-cols", type=int, default=2048)
+    ap.add_argument("--blocks", default="64,128")
+    ap.add_argument("--taus", default="0.2,0.1,0.05")
+    ap.add_argument("--graphs", default="")
+    ap.add_argument("--skip-tpu", action="store_true")
+    ap.add_argument("--skip-parity", action="store_true")
+    ap.add_argument("--max-oracle-rows", type=int, default=60000)
+    args = ap.parse_args()
+
+    from sparta_tpu.datasets import reference_graphs
+    from sparta_tpu.formats import read_edgelist
+
+    out = Path(args.out)
+    (out / "oracle").mkdir(parents=True, exist_ok=True)
+    mat_dir = out / "matrices"
+    mat_dir.mkdir(exist_ok=True)
+
+    graphs = reference_graphs()
+    if not graphs:
+        log("reference data dir not available; nothing to do")
+        return 1
+    if args.graphs:
+        keep = set(args.graphs.split(","))
+        graphs = {k: v for k, v in graphs.items() if k in keep}
+    # wiki-Vote_r is wiki-Vote pre-reordered by the reference authors; keep
+    # both (the _r variant measures blocking on an already-clustered input)
+
+    # canonicalize: round-trip through our writer so the oracle and the
+    # runner consume byte-identical 0-based sorted edge lists
+    canon = {}
+    for name, p in graphs.items():
+        dst = mat_dir / f"{name}.el"
+        if not dst.exists():
+            m = read_edgelist(p, pattern_only=True)
+            m.save_to_edgelist(dst)
+        canon[name] = dst
+    log(f"graphs: {', '.join(canon)}")
+
+    blocks = [int(b) for b in args.blocks.split(",")]
+    taus = [float(t) for t in args.taus.split(",")]
+
+    best_tau = {}
+    if not args.skip_parity:
+        rows, best_tau = phase1_parity(
+            canon, out, blocks, taus, args.max_oracle_rows)
+        cols = [c for c in rows[0] if not c.startswith("_")]
+        with open(out / "parity.csv", "w", newline="") as f:
+            w = csvmod.DictWriter(f, fieldnames=cols, extrasaction="ignore")
+            w.writeheader()
+            w.writerows(rows)
+        n_checked = sum(1 for r in rows if r["grouping_equal"] != "")
+        n_exact = sum(1 for r in rows if r["grouping_equal"] is True)
+        log(f"[parity] {n_exact}/{n_checked} oracle-checked configs "
+            f"bit-identical -> {out/'parity.csv'}")
+        (out / "best_tau.json").write_text(
+            json.dumps({f"{k[0]}|{k[1]}": v for k, v in best_tau.items()}))
+    elif (out / "best_tau.json").exists():
+        best_tau = {
+            (k.split("|")[0], int(k.split("|")[1])): v
+            for k, v in json.loads((out / "best_tau.json").read_text()).items()
+        }
+
+    if not args.skip_tpu:
+        phase2_tpu(canon, out, best_tau, args.b_cols)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -108,8 +108,15 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
         )
 
     if algo == MultiplicationAlgo.csr_spmm:
-        A = csr_to_bcoo(m, dtype=dtype)
-        return (lambda B: bcoo_spmm(A, B)), (m.cols, N), "csr_bcoo", 2 * m.nnz * N
+        if getattr(cfg, "csr_impl", "auto") == "bcoo":
+            A = csr_to_bcoo(m, dtype=dtype)
+            return (lambda B: bcoo_spmm(A, B)), (m.cols, N), "csr_bcoo", 2 * m.nnz * N
+        from ..ops.csr_spmm import csr_spmm_auto
+
+        fn, name, flops = csr_spmm_auto(m, N, dtype=dtype)
+        if "natbell" in name:  # plan fn wants B padded to the bell's K/N grid
+            return fn, (round_up(m.cols, 128), round_up(N, 128)), name, flops
+        return fn, (m.cols, N), name, flops
 
     grouping = engine.grouping_result
     vbr_family = {

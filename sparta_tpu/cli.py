@@ -44,6 +44,7 @@ class Config:
     tile_n: int = 0                 # --tile-n (0 = auto)
     inner_iters: int = 0            # --inner-iters (0 = auto-calibrated depth)
     backend: str = "auto"           # --backend {auto,native,numpy} for blocking
+    csr_impl: str = "auto"          # --csr-impl {auto,bcoo} for -M 2
     save_grouping: bool = True
 
 
@@ -84,6 +85,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inner-iters", type=int, default=d.inner_iters, dest="inner_iters")
     p.add_argument("--backend", type=str, default=d.backend,
                    choices=["auto", "native", "numpy"])
+    p.add_argument("--csr-impl", type=str, default=d.csr_impl,
+                   dest="csr_impl", choices=["auto", "bcoo"],
+                   help="-M 2 path: auto (best unstructured execution) or "
+                   "bcoo (scatter library baseline)")
     p.add_argument("--save-grouping", type=int, default=int(d.save_grouping),
                    dest="save_grouping")
     return p
@@ -98,7 +103,8 @@ _FLAG_BY_FIELD = {
     "mat_fmt": "-R", "seed": "-s", "n_streams": "-S", "tau": "-t",
     "verbose": "-v", "warmup": "-w", "exp_repetitions": "-x",
     "dtype": "--dtype", "tile_n": "--tile-n", "inner_iters": "--inner-iters",
-    "backend": "--backend", "save_grouping": "--save-grouping",
+    "backend": "--backend", "csr_impl": "--csr-impl",
+    "save_grouping": "--save-grouping",
 }
 
 # fields intentionally without a CLI flag (defaults only)

@@ -50,6 +50,43 @@ REFERENCE_SET = [
     ("Botonakis", "FEM_3D_thermal1"),
 ]
 
+# the reference ships seven real-world graphs as test DATA
+# (reference data/real_world/: wiki-Vote, ca-HepPh, bcsstk18, ...); they are
+# read in place at bench/test time, never copied into this repo
+REFERENCE_GRAPH_DIR = Path("/root/reference/data/real_world")
+
+
+def reference_graphs(data_dir: str | Path | None = None) -> dict[str, Path]:
+    """Discover the reference's shipped real-world graphs (name -> path).
+    Empty dict when the reference tree is not available."""
+    d = Path(data_dir or REFERENCE_GRAPH_DIR)
+    if not d.is_dir():
+        return {}
+    return {p.stem: p for p in sorted(d.glob("*.el"))}
+
+
+def load_reference_graph(
+    name: str,
+    data_dir: str | Path | None = None,
+    pattern_only: bool = True,
+) -> CSR:
+    """Load one shipped real-world graph.
+
+    Formats in the set vary (0- or 1-based indices, '%' comment banners,
+    optional float weights); ``read_edgelist`` handles all of them.
+    1-based files simply carry an empty row/column 0 — the same shape the
+    reference's max-index rule produces after its header-line skip
+    (csr.cpp:183-311)."""
+    graphs = reference_graphs(data_dir)
+    if name not in graphs:
+        raise FileNotFoundError(
+            f"graph {name!r} not in {sorted(graphs)} "
+            f"(reference data dir missing?)"
+        )
+    from .formats.csr import read_edgelist
+
+    return read_edgelist(graphs[name], pattern_only=pattern_only)
+
 
 def banded_csr(n: int, bandwidth: int, seed: int = 0, density: float = 0.5) -> CSR:
     """Banded matrix with random fill inside the band."""

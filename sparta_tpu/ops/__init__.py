@@ -15,7 +15,14 @@ from .bell_pallas import (
     bell_spmm_pallas_bcache,
 )
 from .bell_xla import bell_spmm_xla, bell_spmm_xla_ba, bell_spmm_xla_unrolled
-from .csr_spmm import EllDevice, bcoo_spmm, csr_to_bcoo, dense_matmul, ell_spmm
+from .csr_spmm import (
+    EllDevice,
+    bcoo_spmm,
+    csr_spmm_auto,
+    csr_to_bcoo,
+    dense_matmul,
+    ell_spmm,
+)
 from .device import BellDevice, pad_b_for_bell
 from .quant import (
     QBellCompactDevice,

@@ -95,3 +95,59 @@ def dense_matmul(A: jax.Array, B: jax.Array, accum_dtype=jnp.float32) -> jax.Arr
 
 
 dense_matmul = jax.jit(dense_matmul, static_argnames=("accum_dtype",))
+
+
+# measured v5e throughputs (bench detail tables; see docs/DESIGN.md):
+# dense MXU bf16, natural-128-blocked Pallas, and the BCOO scatter path
+_DENSE_TPS = 190e12
+_NATBELL_TPS = 140e12
+_BCOO_TPS = 0.05e12
+
+
+def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32):
+    """Best unstructured-sparse SpMM for a raw CSR — NO reordering.
+
+    The TPU equivalent of the reference's cuSPARSE-CSR baseline
+    (cusparse_gemm_custom, cuda_utilities.cpp:1251-1431): a library call
+    that runs the matrix as-is, choosing its own internal layout.  On v5e
+    the MXU is ~3 orders of magnitude faster per FLOP than the scatter
+    path, so above ~0.1% density the winning unstructured execution is a
+    format conversion + MXU pass, NOT a gather:
+
+    - densify + dense GEMM              (density high: padded flops cheap)
+    - natural 128-blocking, empty blocks dropped, compact Pallas kernel
+      (block-local density high but many empty 128-blocks)
+    - BCOO scatter                      (extreme sparsity: real flops win)
+
+    Returns ``(fn, backend_name, flops)`` with ``fn(B) -> C`` and ``flops``
+    the actual per-call FLOP count of the chosen execution.
+    """
+    from ..formats.bell import bell_from_csr
+    from .select import plan_spmm
+
+    M, K = cmat.shape
+    Np = round_up(N, 128)
+    # natural fixed 128-blocking stats straight from signatures (cheap)
+    from ..reorder.signatures import block_signatures
+
+    sigs = block_signatures(cmat, 128)
+    nbr = (M + 127) // 128
+    group_bits = np.bitwise_or.reduceat(
+        sigs, np.arange(0, M, 128), axis=0) if M else sigs[:0]
+    nzb = int(np.bitwise_count(group_bits).sum())
+
+    t_dense = 2 * M * K * N / _DENSE_TPS
+    t_natbell = 2 * nzb * 128 * 128 * Np / _NATBELL_TPS
+    t_bcoo = 2 * cmat.nnz * N / _BCOO_TPS
+
+    best = min(t_dense, t_natbell, t_bcoo)
+    if best == t_bcoo:
+        A = csr_to_bcoo(cmat, dtype=dtype)
+        return (lambda B: bcoo_spmm(A, B)), "csr_auto_bcoo", 2 * cmat.nnz * N
+    if best == t_dense:
+        A = jnp.asarray(cmat.to_dense(), dtype=dtype)
+        return (lambda B: dense_matmul(A, B)), "csr_auto_dense", 2 * M * K * N
+    bell = bell_from_csr(cmat, None, block_row_size=128, block_col_size=128)
+    plan = plan_spmm(bell, Np, dtype=dtype)
+    flops = 2 * bell.total_nzblocks * 128 * 128 * Np
+    return plan.fn, f"csr_auto_natbell128[{plan.backend}]", flops

@@ -28,8 +28,30 @@ from jax import shard_map
 
 from ..definitions import ceil_div, round_up
 from ..formats.bell import BELL
+from ..ops.bell_pallas import bell_spmm_pallas_auto
 from ..ops.bell_xla import bell_spmm_xla
 from ..ops.device import BellDevice
+
+
+def _local_spmm(
+    dev: BellDevice, B: jax.Array, use_pallas: bool | None = None
+) -> jax.Array:
+    """Per-shard SpMM body for the sharded layouts.
+
+    On TPU this is the production Pallas path (``bell_spmm_pallas_auto``)
+    composed with ``shard_map`` — each chip runs the same MXU kernel on its
+    block-row/K-slice shard.  Falls back to the XLA gather path when blocks
+    are not MXU-tileable or N is not a multiple of 128.  ``use_pallas=True``
+    forces the Pallas path (interpret mode on CPU — lets the virtual-mesh
+    tests exercise the shard_map+pallas_call composition).
+    """
+    nbr, max_nb, bh, bw = dev.vals.shape
+    N = B.shape[1]
+    if use_pallas is None:  # the tunneled TPU platform is named "axon"
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas and bh % 8 == 0 and bw % 128 == 0 and N % 128 == 0:
+        return bell_spmm_pallas_auto(dev, B)
+    return bell_spmm_xla(dev, B)
 
 
 # ---------------------------------------------------------------- helpers --
@@ -105,14 +127,36 @@ def shard_bell_rowwise(bell: BELL, mesh: Mesh, axis: str = "x", dtype=jnp.float3
     )
 
 
-def spmm_rowsharded(bell_dev: BellDevice, B: jax.Array) -> jax.Array:
-    """C = A @ B with block-rows sharded and B replicated: XLA compiles this
-    to fully local MXU work, C comes out row-sharded — no collectives."""
-    return bell_spmm_xla(bell_dev, B)
+def spmm_rowsharded(
+    bell_dev: BellDevice,
+    B: jax.Array,
+    mesh: Mesh | None = None,
+    axis: str = "x",
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """C = A @ B with block-rows sharded and B replicated — no collectives.
+
+    Without a mesh, XLA partitions the gather path automatically from the
+    operand shardings.  With a mesh, the shard-local compute runs through
+    ``_local_spmm`` (the Pallas MXU kernel on TPU) under ``shard_map``."""
+    if mesh is None:
+        return bell_spmm_xla(bell_dev, B)
+
+    def local(ci, nb, v, b):
+        return _local_spmm(BellDevice(ci, nb, v), b, use_pallas)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis, None, None, None),
+                  P(None, None)),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )(bell_dev.cols_idx, bell_dev.nb_row, bell_dev.vals, B)
 
 
 # --------------------------------------------- colsplit + reduce_scatter ---
-@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "use_pallas"))
 def spmm_colsplit_reduce_scatter(
     cols_idx: jax.Array,  # [P, nbr, w] (sharded on P)
     nb_row: jax.Array,    # [P, nbr]
@@ -120,6 +164,7 @@ def spmm_colsplit_reduce_scatter(
     B: jax.Array,         # [P, k_part*bw, N] (sharded on P: each chip its K-slice)
     mesh: Mesh,
     axis: str = "x",
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """Partial products on each chip's K-slice, then psum_scatter over
     block-rows: C lands row-sharded.  The reduce_scatter is XLA's ICI
@@ -129,7 +174,7 @@ def spmm_colsplit_reduce_scatter(
 
     def local(ci, nb, v, b):
         ci, nb, v, b = ci[0], nb[0], v[0], b[0]
-        part = bell_spmm_xla(BellDevice(ci, nb, v), b)  # [M, N] partial
+        part = _local_spmm(BellDevice(ci, nb, v), b, use_pallas)  # [M, N]
         # reduce partials across chips, scattering rows
         return jax.lax.psum_scatter(
             part.reshape(n, part.shape[0] // n, part.shape[1]),
@@ -150,12 +195,13 @@ def spmm_colsplit_reduce_scatter(
 
 
 # ------------------------------------------------------------------- ring --
-@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "use_pallas"))
 def spmm_ring(
     bell_dev: BellDevice,  # row-sharded on axis
     B: jax.Array,          # [K, N] sharded over N on axis
     mesh: Mesh,
     axis: str = "x",
+    use_pallas: bool | None = None,
 ) -> jax.Array:
     """Row-sharded A x column-sharded B: B shards rotate via ppermute; each
     step fills one column stripe of the local C rows while the next B shard
@@ -174,7 +220,7 @@ def spmm_ring(
             b_cur, C = carry
             # chunk currently held started at device (me + s) % n
             src = jax.lax.rem(me + s, n)
-            Cpart = bell_spmm_xla(sub, b_cur)
+            Cpart = _local_spmm(sub, b_cur, use_pallas)
             C = jax.lax.dynamic_update_slice(C, Cpart, (0, src * n_chunk))
             b_nxt = jax.lax.ppermute(
                 b_cur, axis, perm=[((i + 1) % n, i) for i in range(n)]

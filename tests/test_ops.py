@@ -352,3 +352,33 @@ def test_int8_backend_falls_back_on_vmem(tmp_path):
     eng.get_grouping(m)
     fn, b_shape, name, flops = make_backend(cfg, m, eng)
     assert "int8" not in name
+
+
+def test_csr_spmm_auto_regimes():
+    # the auto baseline must be numerically correct whichever execution the
+    # cost model picks; force each regime by patching the model constants
+    import sparta_tpu.ops.csr_spmm as mod
+    from sparta_tpu.formats import random_uniform_csr
+
+    m = random_uniform_csr(64, 80, density=0.05, seed=5)
+    B = np.random.default_rng(1).standard_normal((80, 128)).astype(np.float32)
+    ref = m.to_dense() @ B
+    orig = (mod._DENSE_TPS, mod._NATBELL_TPS, mod._BCOO_TPS)
+    try:
+        for fast in ("dense", "natbell", "bcoo"):
+            mod._DENSE_TPS, mod._NATBELL_TPS, mod._BCOO_TPS = (
+                (1e15, 1.0, 1.0) if fast == "dense"
+                else (1.0, 1e15, 1.0) if fast == "natbell"
+                else (1.0, 1.0, 1e15)
+            )
+            fn, name, flops = mod.csr_spmm_auto(m, 128)
+            assert fast in name, name
+            assert flops > 0
+            Bp = B
+            if "natbell" in name:
+                Bp = np.pad(B, ((0, 128 - 80), (0, 0)))
+            C = np.asarray(fn(jnp.asarray(Bp)))
+            np.testing.assert_allclose(C[: m.rows, :128], ref, rtol=2e-5,
+                                       atol=2e-5)
+    finally:
+        mod._DENSE_TPS, mod._NATBELL_TPS, mod._BCOO_TPS = orig

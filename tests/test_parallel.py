@@ -124,3 +124,56 @@ def test_vbr_from_partition():
     m = random_uniform_csr(30, 30, 0.1, seed=2)
     v = vbr_from_csr_partition(m, np.array([0, 7, 15, 30]), col_block_size=8)
     np.testing.assert_allclose(v.to_dense_permuted()[:30, :30], m.to_dense())
+
+
+@pytest.fixture(scope="module")
+def problem128():
+    # MXU-tileable blocks so the Pallas path engages under shard_map
+    m = random_block_csr(1024, 1024, block=128, block_density=0.3,
+                         intra_density=0.4, seed=11, shuffle_rows=False)
+    bell = bell_from_csr(m, None, block_row_size=128)
+    B = np.random.default_rng(3).standard_normal((1024, 1024)).astype(np.float32)
+    C_ref = m.to_scipy() @ B
+    return m, bell, B, C_ref
+
+
+def test_rowsharded_pallas_composition(problem128, mesh):
+    # VERDICT r1 #3: the production Pallas kernel must compose with
+    # shard_map (interpret mode on the CPU mesh; same trace structure on TPU)
+    m, bell, B, C_ref = problem128
+    dev = shard_bell_rowwise(bell, mesh)
+    Bd = jax.device_put(
+        pad_b_for_bell(B, bell),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    C = spmm_rowsharded(dev, Bd, mesh=mesh, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(C)[: m.rows], C_ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ring_pallas_composition(problem128, mesh):
+    m, bell, B, C_ref = problem128
+    dev = shard_bell_rowwise(bell, mesh)
+    Bd = jax.device_put(
+        pad_b_for_bell(B, bell),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "x")))
+    C = spmm_ring(dev, Bd, mesh, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(C)[: m.rows], C_ref,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_colsplit_pallas_composition(problem128, mesh):
+    m, bell, B, C_ref = problem128
+    n = 8
+    bell_p = pad_block_rows(bell, n)
+    ci, nb, v, k_part = split_bell_cols(bell_p, n)
+    Bp = pad_b_for_bell(B, bell_p)
+    bw = bell.block_col_size
+    K_needed = n * k_part * bw
+    Bp = jnp.pad(Bp, ((0, K_needed - Bp.shape[0]), (0, 0)))
+    Bparts = Bp.reshape(n, k_part * bw, -1)
+    C = spmm_colsplit_reduce_scatter(
+        jnp.asarray(ci), jnp.asarray(nb), jnp.asarray(v), Bparts, mesh,
+        use_pallas=True,
+    )
+    np.testing.assert_allclose(np.asarray(C)[: m.rows], C_ref,
+                               rtol=1e-4, atol=1e-4)
