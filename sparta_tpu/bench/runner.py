@@ -152,6 +152,32 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
                 f"vbr_pallas_bucketed_tn{tn}",
                 flops,
             )
+        # -M 11 without -F: variable-height inverted product on the MXU.
+        # Any direct VBR layout would contract over the VARIABLE dimension
+        # (group heights) — on v5e a narrow contracting dot costs as much
+        # as a full 128^3 dot, so instead we permute rows by the variable
+        # grouping and RE-TILE the transpose on the fixed 128 grid, then
+        # run the forward Pallas kernel: C = (A^T B^T)^T.  Numerically
+        # identical (padding blocks are zero); the variable grouping still
+        # determines the permutation and the reported VBR stats.
+        # Reference analog: cublas_blockmat_multiplyBA's rectangular path
+        # (cuda_utilities.cpp:553-721).
+        if algo == MultiplicationAlgo.vbr_pallas_inverted and N % 128 == 0:
+            from ..formats.csr import CSR as _CSR
+            from ..ops import plan_spmm
+            from ..utils import get_permutation
+
+            m_r = m.permute_rows(get_permutation(grouping))
+            mt = _CSR.from_scipy(m_r.to_scipy().T.tocsr())
+            bell_t = bell_from_csr(mt, None, block_row_size=128,
+                                   block_col_size=128)
+            plan = plan_spmm(bell_t, N, dtype=dtype, tile_n=cfg.tile_n or None)
+            return (
+                lambda B: plan(B.T).T,
+                (N, bell_t.shape[1]),
+                f"vbr_var_ba_retiled_{plan.backend}",
+                flops,
+            )
         vdev = VbrDevice.from_host(vbr, dtype=dtype)
         if algo in (MultiplicationAlgo.vbr_xla_inverted,
                     MultiplicationAlgo.vbr_pallas_inverted):

@@ -24,7 +24,9 @@ class TauSearchResult:
     grouping: np.ndarray | None
     nzblocks: int
     natural_nzblocks: int
-    per_tau: dict
+    per_tau: dict            # tau -> VBR_nzblocks_count
+    per_tau_stats: dict = dataclasses.field(default_factory=dict)
+    # tau -> the full 4-stat dict from collect_blocking_info (tau curves)
 
 
 def search_tau(
@@ -45,6 +47,7 @@ def search_tau(
 
     best = (natural.VBR_nzblocks_count, -1.0, None)
     per_tau = {}
+    per_tau_stats = {}
     for tau in taus:
         eng = BlockingEngine(
             tau=tau, col_block_size=col_block_size, row_block_size=row_block_size,
@@ -52,7 +55,7 @@ def search_tau(
             **engine_kw,
         )
         g = eng.get_grouping(cmat)
-        eng.collect_blocking_info(cmat)
+        per_tau_stats[tau] = eng.collect_blocking_info(cmat)
         per_tau[tau] = eng.VBR_nzblocks_count
         if eng.VBR_nzblocks_count < best[0]:
             best = (eng.VBR_nzblocks_count, tau, g)
@@ -63,4 +66,5 @@ def search_tau(
         nzblocks=best[0],
         natural_nzblocks=natural.VBR_nzblocks_count,
         per_tau=per_tau,
+        per_tau_stats=per_tau_stats,
     )

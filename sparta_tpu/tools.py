@@ -50,6 +50,29 @@ def cmd_analyze(args):
     eng.collect_blocking_info(m)
     print(f"{eng.VBR_nzcount} {eng.VBR_nzblocks_count} "
           f"{eng.VBR_average_height} {eng.VBR_longest_row}")
+    if args.csv:
+        # append a schema row so externally scored orderings feed the same
+        # method-comparison layer (the CLUBS collect step)
+        import csv as csvmod
+
+        row = dict(
+            matrix=args.matrix, rows=m.rows, cols=m.cols, nonzeros=m.nnz,
+            method=args.exp_name or "external", exp_name=args.exp_name or "external",
+            tau=0.0, row_block_size=args.block_size,
+            col_block_size=args.block_size,
+            VBR_nzcount=eng.VBR_nzcount,
+            VBR_nzblocks_count=eng.VBR_nzblocks_count,
+            VBR_average_height=eng.VBR_average_height,
+            VBR_longest_row=eng.VBR_longest_row,
+        )
+        p = Path(args.csv)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        new = not p.exists()
+        with open(p, "a", newline="") as f:
+            w = csvmod.DictWriter(f, fieldnames=list(row))
+            if new:
+                w.writeheader()
+            w.writerow(row)
 
 
 def cmd_reorder(args):
@@ -109,6 +132,118 @@ def cmd_blocking(args):
     ])
 
 
+def _ordering_grouping(method: str, m, seed: int = 123) -> np.ndarray:
+    """Row grouping induced by an EXTERNAL ordering method.
+
+    The CLUBS workflow scores orderings produced outside the blocking engine
+    (reference utils/collect_results_clubs.sh:70 feeds METIS/PaToH/Saad .g
+    files to Matrix_Analysis).  Here the external producers are classic
+    orderings available in-image: degree sort and scipy's reverse
+    Cuthill-McKee (the METIS-style bandwidth/locality reduction stand-in).
+    Returns grouping = new position per original row (inverse permutation).
+    """
+    if method == "degree":
+        perm = np.argsort(-m.row_nnz, kind="stable")
+    elif method == "rcm":
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        n = max(m.rows, m.cols)
+        a = m.with_shape((n, n)).to_scipy().tocsr()
+        sym = ((a + a.T) != 0).astype(np.int8).tocsr()
+        perm = np.asarray(reverse_cuthill_mckee(sym, symmetric_mode=True))
+        perm = perm[perm < m.rows]
+    elif method == "scramble":
+        perm = np.random.default_rng(seed).permutation(m.rows)
+    else:
+        raise ValueError(f"unknown ordering method {method}")
+    g = np.empty(m.rows, dtype=np.int64)
+    g[perm] = np.arange(m.rows)
+    return g
+
+
+def cmd_compare(args):
+    """Method-comparison workflow end-to-end (the reference's CLUBS
+    pipeline): score {original, similarity-reordered, degree, rcm, scramble}
+    on each matrix x block size through the SAME fixed-block scorer
+    (Matrix_Analysis semantics), then emit the geomean-improvement /
+    best-method-count tables, violins, and tau curves from one command
+    (images_utils.py:31-62, curves_plots.py)."""
+    import pandas as pd
+
+    from .bench.analysis import (
+        method_comparison_table,
+        plot_improvement_violin,
+        plot_method_comparison,
+        plot_tau_curves,
+    )
+    from .bench.tau import search_tau
+    from .definitions import BlockingType
+    from .formats import read_matrix
+    from .reorder import BlockingEngine
+
+    taus = [float(t) for t in args.taus.split(",")]
+    blocks = [int(b) for b in args.block_sizes.split(",")]
+    methods = args.methods.split(",")
+    rows = []
+
+    def score(m, name, label, b, tau=0.0):
+        eng = BlockingEngine(
+            col_block_size=b, row_block_size=b,
+            blocking_algo=BlockingType.fixed_size,
+        )
+        eng.get_grouping(m)
+        eng.collect_blocking_info(m)
+        rows.append(dict(
+            matrix=name, rows=m.rows, cols=m.cols, nonzeros=m.nnz,
+            method=label, exp_name=label, tau=tau,
+            row_block_size=b, col_block_size=b,
+            VBR_nzcount=eng.VBR_nzcount,
+            VBR_nzblocks_count=eng.VBR_nzblocks_count,
+            VBR_average_height=eng.VBR_average_height,
+            VBR_longest_row=eng.VBR_longest_row,
+        ))
+
+    for path in args.matrices:
+        m = read_matrix(path, pattern_only=True)
+        name = Path(path).stem
+        for b in blocks:
+            for method in methods:
+                if method == "original":
+                    score(m, name, "original", b)
+                elif method == "similarity":
+                    # fixed-size blocks like every other method's scorer
+                    res = search_tau(m, b, b, taus=taus,
+                                     force_fixed_size=True)
+                    # per-tau rows feed the tau curves; the comparison layer
+                    # then takes the best row per (method, matrix)
+                    for tau, st in res.per_tau_stats.items():
+                        rows.append(dict(
+                            matrix=name, rows=m.rows, cols=m.cols,
+                            nonzeros=m.nnz, method="similarity",
+                            exp_name="similarity", tau=tau,
+                            row_block_size=b, col_block_size=b,
+                            **st,
+                        ))
+                else:
+                    g = _ordering_grouping(method, m)
+                    score(m.reorder(g), name, method, b)
+        print(f"scored {name}", file=sys.stderr)
+
+    df = pd.DataFrame(rows)
+    out = Path(args.out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    df.to_csv(out / "method_comparison.csv", index=False)
+    table = method_comparison_table(df, metric=args.metric)
+    table.to_csv(out / "method_table.csv", index=False)
+    print(table.to_string(index=False))
+    plot_method_comparison(df, out / "method_comparison.png", metric=args.metric)
+    plot_improvement_violin(df, out / "improvement_violin.png", metric=args.metric)
+    sim = df[df["method"] == "similarity"]
+    if len(sim):
+        plot_tau_curves(sim, out / "tau_curves.png")
+    print(f"wrote comparison artifacts to {out}")
+
+
 def cmd_sweep(args):
     from .bench.sweep import run_sweep
     from .cli import Config
@@ -146,6 +281,20 @@ def cmd_plot(args):
     plot_spmm_times(df, out / "spmm_times.png")
     if (df["exp_name"] == "CSR").any():
         plot_speedup_heatmap(df, out / "speedup_heatmap.png")
+    # method-comparison figures when several methods share matrices
+    mcol = "method" if "method" in df.columns else "exp_name"
+    if df[mcol].nunique() > 1 and {"original", "similarity"} & set(df[mcol]):
+        from .bench.analysis import (
+            plot_improvement_violin,
+            plot_method_comparison,
+            plot_tau_curves,
+        )
+
+        base = "original" if (df[mcol] == "original").any() else df[mcol].iloc[0]
+        plot_method_comparison(df, out / "method_comparison.png", baseline=base)
+        plot_improvement_violin(df, out / "improvement_violin.png", baseline=base)
+        if (df["tau"] > 0).any():
+            plot_tau_curves(df[df["tau"] > 0], out / "tau_curves.png")
     print(f"wrote plots to {out}")
 
 
@@ -158,7 +307,23 @@ def build_parser():
     a.add_argument("block_size", type=int)
     a.add_argument("grouping", nargs="?", default=None)
     a.add_argument("--symmetric", action="store_true")
+    a.add_argument("--csv", default=None,
+                   help="append a schema row for the comparison layer")
+    a.add_argument("--exp-name", default=None, dest="exp_name")
     a.set_defaults(fn=cmd_analyze)
+
+    cp = sub.add_parser(
+        "compare",
+        help="method comparison: original vs similarity vs external "
+        "orderings (the CLUBS workflow)")
+    cp.add_argument("matrices", nargs="+")
+    cp.add_argument("--block-sizes", default="64,128")
+    cp.add_argument("--taus", default="0.5,0.2,0.1,0.05,0.01")
+    cp.add_argument("--methods",
+                    default="original,similarity,degree,rcm,scramble")
+    cp.add_argument("--metric", default="VBR_nzcount")
+    cp.add_argument("--out-dir", default="results/compare")
+    cp.set_defaults(fn=cmd_compare)
 
     r = sub.add_parser("reorder", help="tau sweep + save reordered matrix")
     r.add_argument("matrix")

@@ -132,3 +132,32 @@ def test_inverted_transposed_backend_matches_oracle(tmp_path):
     A_r = m.permute_rows(perm).to_scipy()
     C_ref = B[:, : m.rows] @ A_r
     np.testing.assert_allclose(C[:, : m.cols], C_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_variable_inverted_retiled_backend_matches_oracle(tmp_path):
+    """-M 11 WITHOUT -F (variable-height VBR inverted): the re-tiled
+    transpose Pallas path == scipy oracle in the variable-grouping row
+    order (VERDICT r1 #7)."""
+    import jax.numpy as jnp
+
+    from sparta_tpu.bench.runner import make_backend
+    from sparta_tpu.cli import Config
+    from sparta_tpu.formats.csr import random_block_csr
+    from sparta_tpu.reorder import BlockingEngine
+    from sparta_tpu.utils import get_permutation
+
+    m = random_block_csr(200, 200, block=8, block_density=0.3,
+                         intra_density=0.6, seed=17)
+    cfg = Config(multiplication_algo=11, force_fixed_size=False,
+                 blocking_algo=3, row_block_size=8, col_block_size=8,
+                 b_cols=128, tau=0.5, dtype="float32")
+    eng = BlockingEngine.from_config(cfg)
+    eng.get_grouping(m)
+    fn, b_shape, name, _ = make_backend(cfg, m, eng)
+    assert "retiled" in name, name
+    B = np.random.default_rng(7).standard_normal(b_shape).astype(np.float32)
+    C = np.asarray(fn(jnp.asarray(B)))
+    perm = get_permutation(eng.grouping_result)  # variable grouping, no chop
+    A_r = m.permute_rows(perm).to_scipy()
+    C_ref = B[:, : m.rows] @ A_r
+    np.testing.assert_allclose(C[:, : m.cols], C_ref, rtol=1e-4, atol=1e-4)

@@ -177,3 +177,35 @@ def test_colsplit_pallas_composition(problem128, mesh):
     )
     np.testing.assert_allclose(np.asarray(C)[: m.rows], C_ref,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_partitioned_reorder_quality_degradation():
+    """Per-host reordering quality is bounded: when similar rows are local
+    (unshuffled planted blocks) the partition cut costs a few percent; when
+    clusters are scattered across parts (shuffled) the worst case is
+    ~n_parts x (each part recovers its own slice of every cluster).
+    Measured table: results/realworld_v5e/partition_quality.csv."""
+    from sparta_tpu.definitions import BlockingType
+    from sparta_tpu.parallel import partitioned_reorder
+    from sparta_tpu.reorder import BlockingEngine
+    from sparta_tpu.utils import get_fixed_size_grouping
+
+    def nzblocks(m, g, b):
+        scorer = BlockingEngine(col_block_size=b, row_block_size=b,
+                                blocking_algo=BlockingType.fixed_size)
+        scorer.grouping_result = get_fixed_size_grouping(g, b)
+        scorer.collect_blocking_info(m)
+        return scorer.VBR_nzblocks_count
+
+    n_parts, b = 4, 32
+    for shuffle, bound in ((False, 1.15), (True, n_parts + 0.01)):
+        m = random_block_csr(1024, 1024, block=32, block_density=0.1,
+                             intra_density=0.4, seed=13,
+                             shuffle_rows=shuffle)
+        eng = lambda: BlockingEngine(
+            tau=0.3, col_block_size=b, row_block_size=b,
+            blocking_algo=BlockingType.iterative_clocked)
+        g_global = eng().get_grouping(m)
+        g_part = partitioned_reorder(m, eng(), n_parts=n_parts)
+        ratio = nzblocks(m, g_part, b) / nzblocks(m, g_global, b)
+        assert ratio <= bound, (shuffle, ratio)

@@ -179,3 +179,86 @@ def test_run_sweep_isolated(matrix_file, tmp_path):
                      isolate=True)
     assert len(rows) == 1
     assert rows[0]["avg_time_multiply"] > 0
+
+
+def test_analysis_layer(tmp_path):
+    # method-comparison semantics: geomeans, tie-to-original win counts
+    import pandas as pd
+
+    from sparta_tpu.bench.analysis import (
+        best_method_counts,
+        geomean_improvements,
+        method_comparison_table,
+        plot_improvement_violin,
+        plot_method_comparison,
+        plot_tau_curves,
+    )
+
+    rows = []
+    for mat, (orig, sim, deg) in {
+        "m1": (100, 50, 100),   # similarity 2x better; degree ties original
+        "m2": (80, 80, 40),     # degree 2x better; similarity ties
+    }.items():
+        for method, v in (("original", orig), ("similarity", sim),
+                          ("degree", deg)):
+            rows.append(dict(matrix=mat, method=method, tau=0.1,
+                             row_block_size=64, col_block_size=64,
+                             VBR_nzcount=v, VBR_nzblocks_count=v // 10 + 1,
+                             rows=10, cols=10, nonzeros=20))
+    df = pd.DataFrame(rows)
+    g = geomean_improvements(df, "VBR_nzcount")
+    assert g["original"] == pytest.approx(1.0)
+    assert g["similarity"] == pytest.approx(2 ** 0.5)  # geomean(2, 1)
+    assert g["degree"] == pytest.approx(2 ** 0.5)
+    c = best_method_counts(df, "VBR_nzcount")
+    # ties go to original: m1 -> similarity wins, m2 -> degree wins
+    assert c == {"original": 0, "similarity": 1, "degree": 1}
+    t = method_comparison_table(df, "VBR_nzcount")
+    assert set(t["method"]) == {"original", "similarity", "degree"}
+    plot_method_comparison(df, tmp_path / "mc.png")
+    plot_improvement_violin(df, tmp_path / "vi.png")
+    plot_tau_curves(df[df["method"] == "similarity"], tmp_path / "tc.png")
+    assert (tmp_path / "mc.png").exists()
+    assert (tmp_path / "vi.png").exists()
+    assert (tmp_path / "tc.png").exists()
+
+
+def test_compare_command(tmp_path):
+    from sparta_tpu.formats import random_block_csr
+    from sparta_tpu.tools import main as tools_main
+
+    m = random_block_csr(128, 128, block=16, block_density=0.2,
+                         intra_density=0.6, seed=21)
+    el = tmp_path / "blocky.el"
+    m.save_to_edgelist(el)
+    tools_main([
+        "compare", str(el), "--block-sizes", "16", "--taus", "0.5,0.2",
+        "--out-dir", str(tmp_path / "cmp"),
+    ])
+    import pandas as pd
+
+    table = pd.read_csv(tmp_path / "cmp" / "method_table.csv")
+    sim = table[table["method"] == "similarity"]["geomean_improvement"].iloc[0]
+    scr = table[table["method"] == "scramble"]["geomean_improvement"].iloc[0]
+    # on a planted-block matrix similarity must beat the scramble baseline
+    assert sim > scr
+    assert (tmp_path / "cmp" / "method_comparison.png").exists()
+    assert (tmp_path / "cmp" / "tau_curves.png").exists()
+
+
+def test_analyze_csv_append(tmp_path):
+    # the CLUBS collect step: external scores accumulate into one CSV
+    from sparta_tpu.formats import random_uniform_csr
+    from sparta_tpu.tools import main as tools_main
+
+    m = random_uniform_csr(40, 40, 0.1, seed=3)
+    el = tmp_path / "u.el"
+    m.save_to_edgelist(el)
+    csv_out = tmp_path / "scores.csv"
+    for label in ("original", "external1"):
+        tools_main(["analyze", str(el), "8", "--csv", str(csv_out),
+                    "--exp-name", label])
+    import pandas as pd
+
+    df = pd.read_csv(csv_out)
+    assert len(df) == 2 and set(df["method"]) == {"original", "external1"}
