@@ -5,13 +5,27 @@ from .gcn import (
     make_sharded_gcn_apply,
     normalize_adjacency,
 )
+from .gcn_sample import (
+    BlockSampler,
+    MiniBatch,
+    apply_minibatch,
+    features_to_blocks,
+    make_minibatch_train_step,
+    seed_labels,
+)
 from .layers import BlockSparseLinear, make_block_mask
 from .train import lm_loss, make_sharded_train_step, make_train_step
 from .transformer import BlockSparseTransformer, TransformerConfig
 
 __all__ = [
+    "BlockSampler",
     "BlockSparseLinear",
     "BlockSparseTransformer",
+    "MiniBatch",
+    "apply_minibatch",
+    "features_to_blocks",
+    "make_minibatch_train_step",
+    "seed_labels",
     "GCN",
     "GCNConfig",
     "make_gcn_train_step",

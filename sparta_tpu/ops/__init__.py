@@ -25,6 +25,9 @@ from .csr_spmm import (
 )
 from .device import BellDevice, pad_b_for_bell
 from .quant import (
+    FP8BellCompactDevice,
+    bell_spmm_fp8_unrolled,
+    quantize_b_fp8,
     QBellCompactDevice,
     QBellDevice,
     bell_spmm_int8,
@@ -60,11 +63,14 @@ __all__ = [
     "ell_spmm",
     "pad_b_for_bell",
     "plan_spmm",
+    "FP8BellCompactDevice",
     "QBellCompactDevice",
     "QBellDevice",
+    "bell_spmm_fp8_unrolled",
     "bell_spmm_int8",
     "bell_spmm_int8_unrolled",
     "quantize_b",
+    "quantize_b_fp8",
     "SpmmPlan",
     "VbrPallasDevice",
     "vbr_spmm_pallas",

@@ -249,3 +249,95 @@ def test_sharded_gcn_matches_single_device():
     sharded = make_sharded_gcn_apply(model, mesh)
     y_sharded = np.asarray(sharded(params, X))
     np.testing.assert_allclose(y_sharded, y_single, rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------- minibatch GCN ----
+def _toy_graph_model(block=8, n=64, seed=5):
+    import scipy.sparse as sp
+
+    from sparta_tpu.formats.csr import CSR, random_block_csr
+    from sparta_tpu.models import GCN, GCNConfig
+
+    m = random_block_csr(n, n, block=block, block_density=0.4,
+                         intra_density=0.5, seed=seed, shuffle_rows=False)
+    a = m.to_scipy()
+    adj = CSR.from_scipy(((a + a.T) != 0).astype(np.float32).tocsr())
+    cfg = GCNConfig(in_dim=12, hidden_dim=16, out_dim=4, n_layers=2,
+                    block=block, tau=0.4)
+    return GCN.create(adj, cfg)
+
+
+def test_minibatch_full_fanout_matches_full_forward():
+    """fanout >= max block degree + all blocks seeded => exactly the full
+    GCN forward (in permuted block order)."""
+    from sparta_tpu.models import BlockSampler, apply_minibatch, features_to_blocks
+
+    model = _toy_graph_model()
+    nbr, _, b, _ = model.adj_vals.shape
+    params = model.init(jax.random.key(0))
+    X = np.random.default_rng(1).standard_normal(
+        (model.n_nodes, 12)).astype(np.float32)
+
+    sampler = BlockSampler(model, fanout=int(np.asarray(model.nb_row).max()))
+    batch = sampler.sample(np.arange(nbr), n_layers=2)
+    Xb = features_to_blocks(model, jnp.asarray(X))
+    out_mb = np.asarray(apply_minibatch(model, params, Xb, batch))
+
+    full = np.asarray(model.apply(params, jnp.asarray(X)))  # original order
+    # minibatch output is in permuted order of the (padded) seed set
+    seeds = batch.seed_blocks
+    perm_rows = (seeds[:, None] * b + np.arange(b)).reshape(-1)
+    # map: permuted row r holds original node model.perm[r]
+    out_full_perm = np.zeros((nbr * b, full.shape[1]), dtype=np.float32)
+    out_full_perm[: model.n_nodes] = full[model.perm]
+    np.testing.assert_allclose(
+        out_mb[: perm_rows.size], out_full_perm[perm_rows],
+        rtol=1e-4, atol=1e-4)
+
+
+def test_minibatch_static_shapes_across_resamples():
+    from sparta_tpu.models import BlockSampler
+
+    model = _toy_graph_model()
+    sampler = BlockSampler(model, fanout=2, seed=0)
+    b1 = sampler.sample([0, 3], n_layers=2)
+    b2 = sampler.sample([1, 2], n_layers=2)
+    for l1, l2 in zip(b1.layers, b2.layers):
+        assert l1.cols_idx.shape == l2.cols_idx.shape
+        assert l1.vals.shape == l2.vals.shape
+    assert b1.in_blocks.shape == b2.in_blocks.shape
+
+
+def test_minibatch_train_step_decreases_loss():
+    import optax
+
+    from sparta_tpu.models import (
+        BlockSampler,
+        features_to_blocks,
+        make_minibatch_train_step,
+        seed_labels,
+    )
+
+    model = _toy_graph_model()
+    nbr = model.adj_vals.shape[0]
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((model.n_nodes, 12)).astype(np.float32)
+    labels = rng.integers(0, 4, model.n_nodes)
+    mask = np.ones(model.n_nodes, dtype=np.float32)
+
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    step = make_minibatch_train_step(model, opt)
+    sampler = BlockSampler(model, fanout=3, seed=1)
+    Xb = features_to_blocks(model, jnp.asarray(X))
+
+    losses = []
+    for it in range(8):
+        seeds = rng.choice(nbr, size=min(4, nbr), replace=False)
+        batch = sampler.sample(seeds, n_layers=2)
+        lab, msk = seed_labels(model, labels, mask, batch)
+        params, opt_state, loss = step(params, opt_state, Xb, batch, lab, msk)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]

@@ -70,3 +70,62 @@ def test_int8_unrolled_matches_xla_int8():
     C_ref = m.to_scipy() @ B
     rel = np.abs(C_pl[: m.rows] - C_ref).max() / (np.abs(C_ref).max() + 1e-9)
     assert rel < 0.05, rel
+
+
+def test_fp8_spmm_accuracy_and_bound():
+    """fp8(e4m3) kernel: correct within the e4m3 error bound, and int8 with
+    per-block scales is at least as accurate (VERDICT r1 #9)."""
+    from sparta_tpu.ops.quant import (
+        FP8BellCompactDevice,
+        QBellCompactDevice,
+        bell_spmm_fp8_unrolled,
+        bell_spmm_int8_unrolled,
+        quantize_b,
+        quantize_b_fp8,
+    )
+
+    m = random_block_csr(256, 256, block=16, block_density=0.2,
+                         intra_density=0.8, seed=11, shuffle_rows=False)
+    bell = bell_from_csr(m, None, block_row_size=16)
+    B = np.random.default_rng(0).standard_normal((256, 64)).astype(np.float32)
+    Bp = pad_b_for_bell(B, bell)
+    C_ref = np.asarray(m.to_scipy() @ B)
+    denom = np.abs(C_ref).max() + 1e-9
+
+    q8 = FP8BellCompactDevice.from_bell(bell, chunk=2)
+    Bq8, bs8 = quantize_b_fp8(jnp.asarray(Bp), bell.block_col_size)
+    C8 = np.asarray(bell_spmm_fp8_unrolled(q8, Bq8, bs8, tn=64, chunk=2))
+    rel_fp8 = np.abs(C8[:256] - C_ref).max() / denom
+    # e4m3: 3 mantissa bits -> ~6% elementwise; accumulation averages it out
+    assert rel_fp8 < 8e-2, rel_fp8
+
+    qi = QBellCompactDevice.from_bell(bell, chunk=2)
+    Bqi, bsi = quantize_b(jnp.asarray(Bp), bell.block_col_size)
+    Ci = np.asarray(bell_spmm_int8_unrolled(
+        qi, jnp.asarray(Bqi).reshape(Bp.shape), bsi, tn=64, chunk=2))
+    rel_int8 = np.abs(Ci[:256] - C_ref).max() / denom
+    assert rel_int8 <= rel_fp8 * 1.05  # int8+scales at least as accurate
+
+
+def test_fp8_roundtrip_quantization():
+    from sparta_tpu.ops.quant import FP8BellCompactDevice
+
+    m = random_block_csr(64, 64, block=8, block_density=0.5, seed=3,
+                         shuffle_rows=False)
+    bell = bell_from_csr(m, None, block_row_size=8)
+    q = FP8BellCompactDevice.from_bell(bell, chunk=1)
+    deq = (np.asarray(q.q_vals, dtype=np.float32)
+           * np.asarray(q.scales_flat)[:, None, None])
+    dense_bell = BellDevice.from_host(bell)
+    # compare block-by-block through the compact layout
+    rp = np.asarray(q.row_ptr)
+    nb = np.asarray(bell.nb_row)
+    worst = 0.0
+    for i in range(bell.n_block_rows):
+        n = int(nb[i])
+        ref = np.asarray(dense_bell.vals[i, :n], dtype=np.float32)
+        got = deq[rp[i] : rp[i] + n]
+        if ref.size:
+            worst = max(worst, np.abs(got - ref).max()
+                        / (np.abs(ref).max() + 1e-9))
+    assert worst < 8e-2  # e4m3 relative step
