@@ -63,30 +63,79 @@ class SpmmPlan:
         return self.fn(B)
 
 
+# measured v5e per-op costs (docs/DESIGN.md §3/§4): one 128x128x512 dot and
+# one fori_loop iteration; HBM streaming bandwidth for big copies
+_DOT512_S = 93e-9
+_ITER_S = 115e-9
+_HBM_BPS = 700e9
+
+
+def _model_unrolled_s(padded_blocks, bh, bw, K, Np, tn, chunk, itemsize):
+    passes = Np // tn
+    dots = padded_blocks * passes * (bh / 128) * (tn / 512) * _DOT512_S
+    iters = (padded_blocks // max(chunk, 1)) * passes * _ITER_S
+    btile = K * Np * itemsize / _HBM_BPS  # serial per-sweep B loads
+    vals = padded_blocks * bh * bw * itemsize * passes / _HBM_BPS
+    # vals DMA overlaps the dots; count only its excess over compute
+    return dots + iters + btile + max(vals - dots, 0.0)
+
+
+def _model_gather_s(total_blocks, bh, bw, Np, tn, itemsize):
+    passes = Np // tn
+    dots = total_blocks * passes * (bh / 128) * (tn / 512) * _DOT512_S
+    iters = total_blocks * passes * _ITER_S
+    gathers = total_blocks * passes * (bh * bw + bw * tn) * itemsize / _HBM_BPS
+    return max(dots + iters, gathers)
+
+
 def plan_spmm(bell: BELL, N: int, dtype=jnp.float32,
               tile_n: int | None = None) -> SpmmPlan:
     """Pick the fastest device path for this blocked matrix and operand
     width. ``N`` may be any positive width; callers pad B's columns to a
-    multiple of 128 (the plan's ``tn`` divides that padded width)."""
+    multiple of 128 (the plan's ``tn`` divides that padded width).
+
+    Candidates: the resident-B unrolled kernel at every tile width whose
+    VMEM footprint fits (a smaller tile trades extra vals passes for the
+    residency), and the gather kernel at the largest tile; scored with the
+    measured v5e cost model above."""
     bh, bw = bell.block_row_size, bell.block_col_size
     K = bell.shape[1]
     Np = -(-N // 128) * 128
-    tn = tile_n or auto_tile_n(Np)
     itemsize = jnp.dtype(dtype).itemsize
 
     if bh % 8 or bw % 128:
         dev = BellDevice.from_host(bell, dtype=dtype)
-        return SpmmPlan(lambda B: bell_spmm_xla(dev, B), "bell_xla", tn)
+        return SpmmPlan(lambda B: bell_spmm_xla(dev, B),
+                        "bell_xla", tile_n or auto_tile_n(Np))
 
     chunk = compact_auto_chunk(bell.nb_row)
-    if unrolled_vmem_bytes(K, tn, bh, bw, chunk, itemsize) <= VMEM_BUDGET:
+    nb = np.asarray(bell.nb_row, dtype=np.int64)
+    padded_blocks = int(((nb + chunk - 1) // chunk * chunk).sum())
+    total_blocks = int(nb.sum())
+
+    tns = (tile_n,) if tile_n else (512, 256, 128)
+    best = None  # (seconds, kind, tn)
+    for tn in tns:
+        if Np % tn:
+            continue
+        if unrolled_vmem_bytes(K, tn, bh, bw, chunk, itemsize) <= VMEM_BUDGET:
+            t = _model_unrolled_s(padded_blocks, bh, bw, K, Np, tn, chunk,
+                                  itemsize)
+            if best is None or t < best[0]:
+                best = (t, "unrolled", tn)
+    tn_g = tile_n or auto_tile_n(Np)
+    t_g = _model_gather_s(total_blocks, bh, bw, Np, tn_g, itemsize)
+    if best is None or t_g < best[0]:
+        best = (t_g, "gather", tn_g)
+
+    _, kind, tn = best
+    if kind == "unrolled":
         cdev = compact_from_host_padded(bell, chunk, dtype=dtype)
         return SpmmPlan(
             lambda B: bell_spmm_pallas_compact_unrolled(
                 cdev, B, tn=tn, chunk=chunk),
             f"bell_pallas_unrolled_tn{tn}_c{chunk}", tn, chunk,
         )
-
     cdev = BellCompactDevice.from_host(bell, dtype=dtype)
     return SpmmPlan(
         lambda B: bell_spmm_pallas_compact_gather(cdev, B, tn=tn),

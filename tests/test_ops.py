@@ -284,21 +284,26 @@ def test_plan_spmm_unrolled_and_gather_paths():
     B = np.random.default_rng(1).standard_normal((512, 128)).astype(np.float32)
     C_ref = m.to_scipy() @ B
 
-    plan = plan_spmm(bell, 128)
-    assert "unrolled" in plan.backend, plan.backend
-    C = np.asarray(plan(jnp.asarray(pad_b_for_bell(B, bell))))
-    np.testing.assert_allclose(C[:512], C_ref, rtol=1e-4, atol=1e-4)
-
     import sparta_tpu.ops.select as sel
-    old = sel.VMEM_BUDGET
+
+    # force each candidate through the cost model; both must be correct
+    old_gather, old_budget = sel._model_gather_s, sel.VMEM_BUDGET
     try:
+        sel._model_gather_s = lambda *a, **k: 1e9  # force unrolled
+        plan = sel.plan_spmm(bell, 128)
+        assert "unrolled" in plan.backend, plan.backend
+        C = np.asarray(plan(jnp.asarray(pad_b_for_bell(B, bell))))
+        np.testing.assert_allclose(C[:512], C_ref, rtol=1e-4, atol=1e-4)
+
+        sel._model_gather_s = old_gather
         sel.VMEM_BUDGET = 1  # force the large-K path
         plan = sel.plan_spmm(bell, 128)
         assert "gather" in plan.backend, plan.backend
         C = np.asarray(plan(jnp.asarray(pad_b_for_bell(B, bell))))
         np.testing.assert_allclose(C[:512], C_ref, rtol=1e-4, atol=1e-4)
     finally:
-        sel.VMEM_BUDGET = old
+        sel._model_gather_s = old_gather
+        sel.VMEM_BUDGET = old_budget
 
 
 @pytest.mark.parametrize("relu", [False, True])
