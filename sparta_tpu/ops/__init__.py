@@ -3,11 +3,13 @@ from .bell_compact import (
     bell_spmm_pallas_compact,
     bell_spmm_pallas_compact_chunked,
     bell_spmm_pallas_compact_gather,
+    bell_spmm_pallas_compact_ksplit,
     bell_spmm_pallas_compact_multirow,
     bell_spmm_pallas_compact_unrolled,
     bell_spmm_pallas_compact_unrolled_epilogue,
     compact_auto_chunk,
     compact_from_host_padded,
+    compact_ksplit_from_host,
 )
 from .bell_pallas import (
     bell_spmm_pallas,
@@ -50,10 +52,12 @@ __all__ = [
     "bell_spmm_pallas_compact",
     "bell_spmm_pallas_compact_chunked",
     "bell_spmm_pallas_compact_gather",
+    "bell_spmm_pallas_compact_ksplit",
     "bell_spmm_pallas_compact_multirow",
     "bell_spmm_pallas_compact_unrolled",
     "bell_spmm_pallas_compact_unrolled_epilogue",
     "compact_from_host_padded",
+    "compact_ksplit_from_host",
     "compact_auto_chunk",
     "bell_spmm_xla",
     "bell_spmm_xla_ba",

@@ -696,6 +696,89 @@ def bell_spmm_pallas_compact_unrolled(
     )(bell.row_ptr, bell.cols_flat, bell.vals_flat, B)
 
 
+def compact_ksplit_from_host(
+    bell: BELL, n_parts: int, chunk: int, dtype=jnp.float32
+):
+    """Split the blocked matrix by CONTIGUOUS block-column ranges into
+    ``n_parts`` compact devices with locally remapped column ids.
+
+    The huge-K layout: when no B column tile [K, tn] fits VMEM, each part's
+    K-slice does — the K-split SpMM runs the resident-B unrolled kernel per
+    part and accumulates C, so B streams from HBM exactly once (vs the
+    gather kernel's per-block stripe fetches, bw*tn bytes per nonzero block
+    per pass — the dominant term on low-block-density graphs).
+
+    Returns (parts, k_part_blocks): parts is a list of (possibly None for
+    empty ranges) BellCompactDevice, each padded for ``chunk``.
+    """
+    nbc = bell.n_block_cols
+    k_part = -(-nbc // n_parts)
+    nbr = bell.n_block_rows
+    bh, bw = bell.block_row_size, bell.block_col_size
+    valid = np.arange(bell.max_nb)[None, :] < bell.nb_row[:, None]
+    parts = []
+    for p in range(n_parts):
+        lo = p * k_part
+        hi = min(lo + k_part, nbc)
+        sel = valid & (bell.cols_idx >= lo) & (bell.cols_idx < hi)
+        counts = sel.sum(axis=1).astype(np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            parts.append(None)
+            continue
+        width = max(int(counts.max()), 1)
+        sub_cols = np.full((nbr, width), -1, dtype=bell.cols_idx.dtype)
+        sub_vals = np.zeros((nbr, width, bh, bw), dtype=bell.vals.dtype)
+        for r in range(nbr):
+            k = np.flatnonzero(sel[r])
+            if k.size:
+                sub_cols[r, : k.size] = bell.cols_idx[r, k] - lo
+                sub_vals[r, : k.size] = bell.vals[r, k]
+        sub = BELL(
+            cols_idx=sub_cols, vals=sub_vals,
+            nb_row=counts.astype(bell.nb_row.dtype),
+            row_perm=bell.row_perm,
+            block_row_size=bh, block_col_size=bw,
+            shape=(nbr * bh, (hi - lo) * bw),
+            orig_shape=bell.orig_shape,
+        )
+        parts.append(compact_from_host_padded(sub, chunk, dtype=dtype))
+    return parts, k_part
+
+
+def bell_spmm_pallas_compact_ksplit(
+    parts,
+    k_part: int,
+    bw: int,
+    B: jax.Array,
+    tn: int = 512,
+    chunk: int = 2,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """C = A @ B through per-K-slice resident-B unrolled kernels, fp32
+    accumulated across parts.  ``parts`` from ``compact_ksplit_from_host``;
+    B is padded to n_parts * k_part * bw rows internally."""
+    out_dtype = out_dtype or B.dtype
+    n_parts = len(parts)
+    K_need = n_parts * k_part * bw
+    if B.shape[0] < K_need:
+        B = jnp.pad(B, ((0, K_need - B.shape[0]), (0, 0)))
+    out = None
+    for p, cdev in enumerate(parts):
+        if cdev is None:
+            continue
+        Bp = jax.lax.slice_in_dim(B, p * k_part * bw, (p + 1) * k_part * bw)
+        Cp = bell_spmm_pallas_compact_unrolled(
+            cdev, Bp, tn=tn, chunk=chunk, out_dtype=jnp.float32,
+            interpret=interpret,
+        )
+        out = Cp if out is None else out + Cp
+    if out is None:
+        raise ValueError("K-split SpMM over an all-empty matrix")
+    return out.astype(out_dtype)
+
+
 def compact_auto_chunk(nb_row) -> int:
     """Default unroll chunk for compact_from_host_padded: ~80% of the mean
     blocks-per-row balances loop-overhead amortization against zero-block

@@ -88,6 +88,20 @@ def _model_gather_s(total_blocks, bh, bw, Np, tn, itemsize):
     return max(dots + iters, gathers)
 
 
+def _model_ksplit_s(total_blocks, nbr, bh, bw, K, Np, tn, chunk, itemsize,
+                    n_parts):
+    passes = Np // tn
+    # chunk padding accrues once per (part, row) on average chunk/2 blocks
+    padded = total_blocks + n_parts * nbr * chunk / 2
+    dots = padded * passes * (bh / 128) * (tn / 512) * _DOT512_S
+    iters = padded / max(chunk, 1) * passes * _ITER_S
+    btile = K * Np * itemsize / _HBM_BPS
+    vals = padded * bh * bw * itemsize * passes / _HBM_BPS
+    # fp32 partial-C accumulation across parts
+    cout = (2 * n_parts - 1) * nbr * bh * Np * 4 / _HBM_BPS
+    return dots + iters + btile + max(vals - dots, 0.0) + cout
+
+
 def plan_spmm(bell: BELL, N: int, dtype=jnp.float32,
               tile_n: int | None = None) -> SpmmPlan:
     """Pick the fastest device path for this blocked matrix and operand
@@ -113,8 +127,9 @@ def plan_spmm(bell: BELL, N: int, dtype=jnp.float32,
     padded_blocks = int(((nb + chunk - 1) // chunk * chunk).sum())
     total_blocks = int(nb.sum())
 
+    nbr = bell.n_block_rows
     tns = (tile_n,) if tile_n else (512, 256, 128)
-    best = None  # (seconds, kind, tn)
+    best = None  # (seconds, kind, tn, n_parts)
     for tn in tns:
         if Np % tn:
             continue
@@ -122,19 +137,43 @@ def plan_spmm(bell: BELL, N: int, dtype=jnp.float32,
             t = _model_unrolled_s(padded_blocks, bh, bw, K, Np, tn, chunk,
                                   itemsize)
             if best is None or t < best[0]:
-                best = (t, "unrolled", tn)
+                best = (t, "unrolled", tn, 1)
+        else:
+            # K-split: smallest part count whose B slice is VMEM-resident
+            for P in range(2, 65):
+                Kp = -(-K // P)
+                if unrolled_vmem_bytes(Kp, tn, bh, bw, 2, itemsize) \
+                        <= VMEM_BUDGET:
+                    t = _model_ksplit_s(total_blocks, nbr, bh, bw, K, Np, tn,
+                                        2, itemsize, P)
+                    if best is None or t < best[0]:
+                        best = (t, "ksplit", tn, P)
+                    break
     tn_g = tile_n or auto_tile_n(Np)
     t_g = _model_gather_s(total_blocks, bh, bw, Np, tn_g, itemsize)
     if best is None or t_g < best[0]:
-        best = (t_g, "gather", tn_g)
+        best = (t_g, "gather", tn_g, 1)
 
-    _, kind, tn = best
+    _, kind, tn, n_parts = best
     if kind == "unrolled":
         cdev = compact_from_host_padded(bell, chunk, dtype=dtype)
         return SpmmPlan(
             lambda B: bell_spmm_pallas_compact_unrolled(
                 cdev, B, tn=tn, chunk=chunk),
             f"bell_pallas_unrolled_tn{tn}_c{chunk}", tn, chunk,
+        )
+    if kind == "ksplit":
+        from .bell_compact import (
+            bell_spmm_pallas_compact_ksplit,
+            compact_ksplit_from_host,
+        )
+
+        parts, k_part = compact_ksplit_from_host(bell, n_parts, 2,
+                                                 dtype=dtype)
+        return SpmmPlan(
+            lambda B: bell_spmm_pallas_compact_ksplit(
+                parts, k_part, bw, B, tn=tn, chunk=2),
+            f"bell_pallas_ksplit_p{n_parts}_tn{tn}", tn, 2,
         )
     cdev = BellCompactDevice.from_host(bell, dtype=dtype)
     return SpmmPlan(

@@ -387,3 +387,40 @@ def test_csr_spmm_auto_regimes():
                                        atol=2e-5)
     finally:
         mod._DENSE_TPS, mod._NATBELL_TPS, mod._BCOO_TPS = orig
+
+
+@pytest.mark.parametrize("n_parts", [2, 3])
+def test_bell_spmm_compact_ksplit(problem, n_parts):
+    from sparta_tpu.ops import (
+        bell_spmm_pallas_compact_ksplit,
+        compact_ksplit_from_host,
+    )
+
+    m, bell, B, C_ref = problem
+    parts, k_part = compact_ksplit_from_host(bell, n_parts, chunk=2)
+    C = np.asarray(bell_spmm_pallas_compact_ksplit(
+        parts, k_part, bell.block_col_size, jnp.asarray(B), tn=32, chunk=2))
+    np.testing.assert_allclose(C[: m.rows], C_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_plan_spmm_ksplit_path():
+    # huge-K forcing: VMEM budget shrunk so only the K-split candidate fits
+    import sparta_tpu.ops.select as sel
+    from sparta_tpu.formats import bell_from_csr, random_block_csr
+    from sparta_tpu.ops import pad_b_for_bell
+
+    m = random_block_csr(1024, 1024, block=128, block_density=0.3,
+                         intra_density=0.4, seed=9)
+    bell = bell_from_csr(m, None, block_row_size=128)
+    B = np.random.default_rng(2).standard_normal((1024, 128)).astype(np.float32)
+    C_ref = m.to_scipy() @ B
+    old_b, old_g = sel.VMEM_BUDGET, sel._model_gather_s
+    try:
+        sel.VMEM_BUDGET = 700 * 1024  # full K misses; a ~3-part slice fits
+        sel._model_gather_s = lambda *a, **k: 1e9
+        plan = sel.plan_spmm(bell, 128)
+        assert "ksplit" in plan.backend, plan.backend
+        C = np.asarray(plan(jnp.asarray(pad_b_for_bell(B, bell))))
+        np.testing.assert_allclose(C[:1024], C_ref, rtol=1e-4, atol=1e-4)
+    finally:
+        sel.VMEM_BUDGET, sel._model_gather_s = old_b, old_g
