@@ -85,9 +85,10 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
     from ..ops.dense_pallas import dense_matmul_pallas
 
     algo = MultiplicationAlgo(cfg.multiplication_algo)
-    # int8 runs the quantized blocked path for -M 8; other backends use bf16
-    # storage for it (the reference's Z_/Q_ type-switch analog)
-    dtype = jnp.bfloat16 if cfg.dtype in ("bfloat16", "int8") else jnp.float32
+    # int8/fp8 run the quantized blocked path for -M 8; other backends use
+    # bf16 storage for them (the reference's Z_/Q_ type-switch analog)
+    dtype = jnp.bfloat16 if cfg.dtype in ("bfloat16", "int8", "fp8") \
+        else jnp.float32
     N = cfg.b_cols
 
     if algo == MultiplicationAlgo.dense_xla:
@@ -279,6 +280,31 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
                         qc, Bq.reshape(B.shape), bscale, tn=tn, chunk=chunk)
 
                 return fn, (bell.shape[1], Np), f"bell_int8_unrolled_tn{tn}_c{chunk}", fl
+
+        if cfg.dtype == "fp8" and bell.block_row_size % 8 == 0 \
+                and bell.block_col_size % 128 == 0:
+            from ..ops import (
+                FP8BellCompactDevice,
+                bell_spmm_fp8_unrolled,
+                compact_auto_chunk,
+                quantize_b_fp8,
+            )
+
+            chunk = compact_auto_chunk(bell.nb_row)
+            bw = bell.block_col_size
+            tn = cfg.tile_n or auto_tile_n(Np)
+            if unrolled_vmem_bytes(
+                bell.shape[1], tn, bell.block_row_size, bw, chunk, 1
+            ) <= VMEM_BUDGET:
+                q8 = FP8BellCompactDevice.from_bell(bell, chunk=chunk)
+
+                def fn8(B, q8=q8, bw=bw, tn=tn, chunk=chunk):
+                    Bq, bscale = quantize_b_fp8(B, bw)
+                    return bell_spmm_fp8_unrolled(q8, Bq, bscale, tn=tn,
+                                                  chunk=chunk)
+
+                return fn8, (bell.shape[1], Np), \
+                    f"bell_fp8_unrolled_tn{tn}_c{chunk}", fl
 
         from ..ops import plan_spmm
 

@@ -80,7 +80,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-w", type=int, default=d.warmup, dest="warmup")
     p.add_argument("-x", type=int, default=d.exp_repetitions, dest="exp_repetitions")
     p.add_argument("--dtype", type=str, default=d.dtype,
-                   choices=["float32", "bfloat16", "int8"])
+                   choices=["float32", "bfloat16", "int8", "fp8"])
     p.add_argument("--tile-n", type=int, default=d.tile_n, dest="tile_n")
     p.add_argument("--inner-iters", type=int, default=d.inner_iters, dest="inner_iters")
     p.add_argument("--backend", type=str, default=d.backend,
