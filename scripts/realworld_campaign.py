@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import argparse
 import csv as csvmod
-import dataclasses
 import json
 import subprocess
 import sys

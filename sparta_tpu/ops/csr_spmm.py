@@ -131,7 +131,6 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32):
     from ..reorder.signatures import block_signatures
 
     sigs = block_signatures(cmat, 128)
-    nbr = (M + 127) // 128
     group_bits = np.bitwise_or.reduceat(
         sigs, np.arange(0, M, 128), axis=0) if M else sigs[:0]
     nzb = int(np.bitwise_count(group_bits).sum())
