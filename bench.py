@@ -157,6 +157,25 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"int8_unrolled   : FAILED {type(e).__name__}: {e}")
 
+    # fp8(e4m3) path: 1-byte storage, bf16 dots (v5e has no native fp8 MXU)
+    try:
+        from sparta_tpu.ops import (
+            FP8BellCompactDevice,
+            bell_spmm_fp8_unrolled,
+            quantize_b_fp8,
+        )
+
+        q8 = FP8BellCompactDevice.from_bell(bell, chunk=chunk)
+        Bq8, bs8 = quantize_b_fp8(B, block)
+        t8 = 1024 if N % 1024 == 0 else tn
+        avg, std, _ = time_op(
+            lambda b: bell_spmm_fp8_unrolled(q8, b, bs8, tn=t8, chunk=chunk),
+            Bq8, warmup=1, reps=reps, inner_iters=inner or None)
+        log(f"{'fp8_unrolled':16s}: {avg*1e3:9.3f} ms  ({flops/avg/1e12:6.2f} "
+            f"TFLOP/s eff, std {std*1e3:.3f})  [not in headline]")
+    except Exception as e:  # noqa: BLE001
+        log(f"fp8_unrolled    : FAILED {type(e).__name__}: {e}")
+
     # --- unstructured baselines (no reordering) ---
     # scatter-library CSR (the literal cuSPARSE-CSR analog)
     bcoo = csr_to_bcoo(m, dtype=dtype)
