@@ -43,6 +43,19 @@ def config_hash(cfg: Config) -> str:
     return hashlib.sha1(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
 
 
+def _extract_error_line(stderr: str) -> str:
+    """Surface the actual exception line from a failed cell's stderr — not
+    JAX's traceback-filter notice, which is the literal last line on any
+    jax error."""
+    lines = (stderr or "").strip().splitlines() or ["?"]
+    return next(
+        (ln for ln in reversed(lines)
+         if ("Error" in ln or "Exception" in ln)
+         and "JAX_TRACEBACK_FILTERING" not in ln),
+        " | ".join(lines[-3:]),
+    )
+
+
 def _run_cell_isolated(cfg: Config, timeout: int = 1800) -> dict:
     """Run one experiment in a fresh subprocess.
 
@@ -67,7 +80,7 @@ def _run_cell_isolated(cfg: Config, timeout: int = 1800) -> dict:
             result_json = Path(str(cfg.outfile) + ".json")
             if r.returncode == 0 and result_json.exists():
                 return json.loads(result_json.read_text())
-            err = (r.stderr.strip().splitlines() or ["?"])[-1]
+            err = _extract_error_line(r.stderr)
         except subprocess.TimeoutExpired:
             err = f"cell timed out after {timeout}s"
         if attempt < 2:  # wait for the device to come back

@@ -161,3 +161,23 @@ def test_variable_inverted_retiled_backend_matches_oracle(tmp_path):
     A_r = m.permute_rows(perm).to_scipy()
     C_ref = B[:, : m.rows] @ A_r
     np.testing.assert_allclose(C[:, : m.cols], C_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sweep_extract_error_line():
+    from sparta_tpu.bench.sweep import _extract_error_line
+
+    jax_err = (
+        "Traceback (most recent call last):\n"
+        '  File "x.py", line 3, in <module>\n'
+        "jaxlib.xla_extension.XlaRuntimeError: INTERNAL: remote_compile "
+        "HTTP 500\n"
+        "For simplicity, JAX has removed its internal frames from the "
+        "traceback of the following exception. Set JAX_TRACEBACK_FILTERING"
+        "=off to include these."
+    )
+    line = _extract_error_line(jax_err)
+    assert "XlaRuntimeError" in line and "HTTP 500" in line
+    assert "JAX_TRACEBACK_FILTERING" not in line
+    assert _extract_error_line("") == "?"
+    assert _extract_error_line("just noise\nno exceptions here") \
+        == "just noise | no exceptions here"
