@@ -24,13 +24,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_timed_loop(fn: Callable):
-    """Jitted (B, n) -> B_n running C = fn(B) n times, serialized."""
+def make_timed_loop(fn: Callable, example_B):
+    """(B, n) -> scalar checksum, running C = fn(B) n times, serialized.
+
+    ``fn``'s closed-over device arrays are hoisted out of the jaxpr
+    (``make_jaxpr(fn).consts``) and passed as EXPLICIT jit arguments:
+    captured arrays otherwise lower into the HLO as giant dense literals
+    (a 276 MB ELL vals tensor produced a 552 MB program), and the tunnel's
+    remote-compile service rejects the request body (HTTP 413).  As
+    arguments they ride the normal transfer path instead.
+    """
+    closed = jax.make_jaxpr(fn)(example_B)
+    consts = closed.consts
+
+    def pure(B, *consts):
+        out = jax.core.eval_jaxpr(closed.jaxpr, list(consts), B)
+        return out[0] if len(out) == 1 else out
 
     @jax.jit
-    def loop(B, n):
+    def loop(B, n, *consts):
         def body(_, carry):
-            C = fn(carry)
+            C = pure(carry, *consts)
+            if isinstance(C, (tuple, list)):
+                C = sum(jnp.sum(c.astype(jnp.float32)) for c in C)
             # depend on a FULL reduction of C: reading a single element
             # would let XLA slice the computation down to the one value
             # actually used (e.g. a [M,K]@[K,N] matmul becomes one dot
@@ -48,7 +64,7 @@ def make_timed_loop(fn: Callable):
         # for a 34MB operand) would swamp every timing below it
         return jnp.mean(out.astype(jnp.float32))
 
-    return loop
+    return lambda B, n: loop(B, n, *consts)
 
 
 def time_op(
@@ -64,7 +80,7 @@ def time_op(
     ``inner_iters`` pins the deep-loop depth explicitly; default is
     auto-calibration toward ``target_time`` seconds of device work.
     """
-    loop = make_timed_loop(fn)
+    loop = make_timed_loop(fn, B)
 
     def run(n) -> float:
         t0 = time.perf_counter()
