@@ -39,7 +39,6 @@ def main():
     import jax.numpy as jnp
 
     from sparta_tpu.bench.timing import time_op
-    from sparta_tpu.definitions import BlockingType
     from sparta_tpu.formats import bell_from_csr, random_block_csr
     from sparta_tpu.ops import (
         BellDevice,
@@ -47,9 +46,7 @@ def main():
         bell_spmm_pallas,
         bell_spmm_xla,
         csr_to_bcoo,
-        pad_b_for_bell,
     )
-    from sparta_tpu.reorder import BlockingEngine
 
     log(f"devices: {jax.devices()}")
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

@@ -11,7 +11,6 @@ Usage: python scripts/campaign.py [--scale medium] [--out results/campaign]
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 import time

@@ -28,8 +28,6 @@ def main():
     ap.add_argument("--out", default="results/realworld_v5e/partition_quality.csv")
     args = ap.parse_args()
 
-    import numpy as np
-
     from sparta_tpu.datasets import reference_graphs
     from sparta_tpu.definitions import BlockingType
     from sparta_tpu.formats import random_block_csr, read_edgelist

@@ -8,7 +8,6 @@ reference's collation/plotting layer applies unchanged.
 """
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from pathlib import Path
@@ -75,7 +74,6 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
     from ..ops import (
         BellDevice,
         bcoo_spmm,
-        bell_spmm_pallas,
         bell_spmm_xla,
         bell_spmm_xla_ba,
         bell_spmm_xla_unrolled,

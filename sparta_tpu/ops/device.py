@@ -6,7 +6,6 @@ for the MXU path: values as [nbr, max_nb, bh, bw] tiles, indices int32.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp
