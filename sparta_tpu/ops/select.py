@@ -64,15 +64,23 @@ class SpmmPlan:
 
 
 # measured v5e per-op costs (docs/DESIGN.md §3/§4): one 128x128x512 dot and
-# one fori_loop iteration; HBM streaming bandwidth for big copies
+# one fori_loop iteration; HBM bandwidths (streaming vs the gather kernel's
+# large sequential stripe reads, which measure near peak: bcsstk18 r2 A/B)
 _DOT512_S = 93e-9
 _ITER_S = 115e-9
 _HBM_BPS = 700e9
+_GATHER_BPS = 950e9
+
+
+def _dot_s(bh, tn):
+    # MXU dots are latency-bound below a full 128x512 tile: a narrower or
+    # shorter dot still costs ~_DOT512_S (measured: tn=256 halves nothing)
+    return _DOT512_S * max(bh, 128) / 128 * max(tn, 512) / 512
 
 
 def _model_unrolled_s(padded_blocks, bh, bw, K, Np, tn, chunk, itemsize):
     passes = Np // tn
-    dots = padded_blocks * passes * (bh / 128) * (tn / 512) * _DOT512_S
+    dots = padded_blocks * passes * _dot_s(bh, tn)
     iters = (padded_blocks // max(chunk, 1)) * passes * _ITER_S
     btile = K * Np * itemsize / _HBM_BPS  # serial per-sweep B loads
     vals = padded_blocks * bh * bw * itemsize * passes / _HBM_BPS
@@ -82,9 +90,10 @@ def _model_unrolled_s(padded_blocks, bh, bw, K, Np, tn, chunk, itemsize):
 
 def _model_gather_s(total_blocks, bh, bw, Np, tn, itemsize):
     passes = Np // tn
-    dots = total_blocks * passes * (bh / 128) * (tn / 512) * _DOT512_S
+    dots = total_blocks * passes * _dot_s(bh, tn)
     iters = total_blocks * passes * _ITER_S
-    gathers = total_blocks * passes * (bh * bw + bw * tn) * itemsize / _HBM_BPS
+    gathers = (total_blocks * passes * (bh * bw + bw * tn) * itemsize
+               / _GATHER_BPS)
     return max(dots + iters, gathers)
 
 
@@ -93,7 +102,7 @@ def _model_ksplit_s(total_blocks, nbr, bh, bw, K, Np, tn, chunk, itemsize,
     passes = Np // tn
     # chunk padding accrues once per (part, row) on average chunk/2 blocks
     padded = total_blocks + n_parts * nbr * chunk / 2
-    dots = padded * passes * (bh / 128) * (tn / 512) * _DOT512_S
+    dots = padded * passes * _dot_s(bh, tn)
     iters = padded / max(chunk, 1) * passes * _ITER_S
     btile = K * Np * itemsize / _HBM_BPS
     vals = padded * bh * bw * itemsize * passes / _HBM_BPS
