@@ -112,7 +112,8 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
             return (lambda B: bcoo_spmm(A, B)), (m.cols, N), "csr_bcoo", 2 * m.nnz * N
         from ..ops.csr_spmm import csr_spmm_auto
 
-        fn, name, flops = csr_spmm_auto(m, N, dtype=dtype)
+        fn, name, flops = csr_spmm_auto(
+            m, N, dtype=dtype, autotune=bool(getattr(cfg, 'autotune', False)))
         if "natbell" in name:  # plan fn wants B padded to the bell's K/N grid
             return fn, (round_up(m.cols, 128), round_up(N, 128)), name, flops
         return fn, (m.cols, N), name, flops
@@ -170,7 +171,8 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
             mt = _CSR.from_scipy(m_r.to_scipy().T.tocsr())
             bell_t = bell_from_csr(mt, None, block_row_size=128,
                                    block_col_size=128)
-            plan = plan_spmm(bell_t, N, dtype=dtype, tile_n=cfg.tile_n or None)
+            plan = plan_spmm(bell_t, N, dtype=dtype, tile_n=cfg.tile_n or None,
+                             autotune=bool(getattr(cfg, 'autotune', False)))
             return (
                 lambda B: plan(B.T).T,
                 (N, bell_t.shape[1]),
@@ -223,7 +225,8 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
                                    block_row_size=cfg.col_block_size,
                                    block_col_size=cfg.row_block_size)
             tn = cfg.tile_n or auto_tile_n(N)
-            plan = plan_spmm(bell_t, N, dtype=dtype, tile_n=tn)
+            plan = plan_spmm(bell_t, N, dtype=dtype, tile_n=tn,
+                             autotune=bool(getattr(cfg, 'autotune', False)))
             return (
                 lambda B: plan(B.T).T,
                 (N, bell_t.shape[1]),
@@ -306,7 +309,8 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
 
         from ..ops import plan_spmm
 
-        plan = plan_spmm(bell, Np, dtype=dtype, tile_n=cfg.tile_n or None)
+        plan = plan_spmm(bell, Np, dtype=dtype, tile_n=cfg.tile_n or None,
+                         autotune=bool(getattr(cfg, 'autotune', False)))
         return plan.fn, (bell.shape[1], Np), plan.backend, fl
 
     raise ValueError(f"no backend for multiplication algo {algo}")

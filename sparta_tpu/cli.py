@@ -45,6 +45,7 @@ class Config:
     inner_iters: int = 0            # --inner-iters (0 = auto-calibrated depth)
     backend: str = "auto"           # --backend {auto,native,numpy} for blocking
     csr_impl: str = "auto"          # --csr-impl {auto,bcoo} for -M 2
+    autotune: bool = False          # --autotune: measure kernel candidates
     save_grouping: bool = True
 
 
@@ -89,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="csr_impl", choices=["auto", "bcoo"],
                    help="-M 2 path: auto (best unstructured execution) or "
                    "bcoo (scatter library baseline)")
+    p.add_argument("--autotune", type=int, default=int(d.autotune),
+                   dest="autotune",
+                   help="measure the kernel candidates on-device and pick "
+                   "the empirical winner (bench-quality selection)")
     p.add_argument("--save-grouping", type=int, default=int(d.save_grouping),
                    dest="save_grouping")
     return p
@@ -104,7 +109,7 @@ _FLAG_BY_FIELD = {
     "verbose": "-v", "warmup": "-w", "exp_repetitions": "-x",
     "dtype": "--dtype", "tile_n": "--tile-n", "inner_iters": "--inner-iters",
     "backend": "--backend", "csr_impl": "--csr-impl",
-    "save_grouping": "--save-grouping",
+    "autotune": "--autotune", "save_grouping": "--save-grouping",
 }
 
 # fields intentionally without a CLI flag (defaults only)

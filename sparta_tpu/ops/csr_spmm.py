@@ -103,7 +103,8 @@ _NATBELL_TPS = 140e12
 _BCOO_TPS = 0.05e12
 
 
-def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32):
+def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
+                  autotune: bool = False):
     """Best unstructured-sparse SpMM for a raw CSR — NO reordering.
 
     The TPU equivalent of the reference's cuSPARSE-CSR baseline
@@ -146,6 +147,6 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32):
         A = jnp.asarray(cmat.to_dense(), dtype=dtype)
         return (lambda B: dense_matmul(A, B)), "csr_auto_dense", 2 * M * K * N
     bell = bell_from_csr(cmat, None, block_row_size=128, block_col_size=128)
-    plan = plan_spmm(bell, Np, dtype=dtype)
+    plan = plan_spmm(bell, Np, dtype=dtype, autotune=autotune)
     flops = 2 * bell.total_nzblocks * 128 * 128 * Np
     return plan.fn, f"csr_auto_natbell128[{plan.backend}]", flops

@@ -10,6 +10,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -111,42 +112,27 @@ def _model_ksplit_s(total_blocks, nbr, bh, bw, K, Np, tn, chunk, itemsize,
     return dots + iters + btile + max(vals - dots, 0.0) + cout
 
 
-def plan_spmm(bell: BELL, N: int, dtype=jnp.float32,
-              tile_n: int | None = None) -> SpmmPlan:
-    """Pick the fastest device path for this blocked matrix and operand
-    width. ``N`` may be any positive width; callers pad B's columns to a
-    multiple of 128 (the plan's ``tn`` divides that padded width).
-
-    Candidates: the resident-B unrolled kernel at every tile width whose
-    VMEM footprint fits (a smaller tile trades extra vals passes for the
-    residency), and the gather kernel at the largest tile; scored with the
-    measured v5e cost model above."""
+def _candidate_plans(bell: BELL, N: int, dtype, tile_n):
+    """Ranked (model_seconds, kind, tn, n_parts) candidates."""
     bh, bw = bell.block_row_size, bell.block_col_size
     K = bell.shape[1]
     Np = -(-N // 128) * 128
     itemsize = jnp.dtype(dtype).itemsize
-
-    if bh % 8 or bw % 128:
-        dev = BellDevice.from_host(bell, dtype=dtype)
-        return SpmmPlan(lambda B: bell_spmm_xla(dev, B),
-                        "bell_xla", tile_n or auto_tile_n(Np))
-
     chunk = compact_auto_chunk(bell.nb_row)
     nb = np.asarray(bell.nb_row, dtype=np.int64)
     padded_blocks = int(((nb + chunk - 1) // chunk * chunk).sum())
     total_blocks = int(nb.sum())
-
     nbr = bell.n_block_rows
+
+    cands = []
     tns = (tile_n,) if tile_n else (512, 256, 128)
-    best = None  # (seconds, kind, tn, n_parts)
     for tn in tns:
         if Np % tn:
             continue
         if unrolled_vmem_bytes(K, tn, bh, bw, chunk, itemsize) <= VMEM_BUDGET:
             t = _model_unrolled_s(padded_blocks, bh, bw, K, Np, tn, chunk,
                                   itemsize)
-            if best is None or t < best[0]:
-                best = (t, "unrolled", tn, 1)
+            cands.append((t, "unrolled", tn, 1))
         else:
             # K-split: smallest part count whose B slice is VMEM-resident
             for P in range(2, 65):
@@ -155,15 +141,17 @@ def plan_spmm(bell: BELL, N: int, dtype=jnp.float32,
                         <= VMEM_BUDGET:
                     t = _model_ksplit_s(total_blocks, nbr, bh, bw, K, Np, tn,
                                         2, itemsize, P)
-                    if best is None or t < best[0]:
-                        best = (t, "ksplit", tn, P)
+                    cands.append((t, "ksplit", tn, P))
                     break
     tn_g = tile_n or auto_tile_n(Np)
-    t_g = _model_gather_s(total_blocks, bh, bw, Np, tn_g, itemsize)
-    if best is None or t_g < best[0]:
-        best = (t_g, "gather", tn_g, 1)
+    cands.append((_model_gather_s(total_blocks, bh, bw, Np, tn_g, itemsize),
+                  "gather", tn_g, 1))
+    return sorted(cands), chunk
 
-    _, kind, tn, n_parts = best
+
+def _build_plan(bell: BELL, kind: str, tn: int, n_parts: int, chunk: int,
+                dtype) -> SpmmPlan:
+    bw = bell.block_col_size
     if kind == "unrolled":
         cdev = compact_from_host_padded(bell, chunk, dtype=dtype)
         return SpmmPlan(
@@ -189,3 +177,53 @@ def plan_spmm(bell: BELL, N: int, dtype=jnp.float32,
         lambda B: bell_spmm_pallas_compact_gather(cdev, B, tn=tn),
         f"bell_pallas_gather_tn{tn}", tn,
     )
+
+
+def plan_spmm(bell: BELL, N: int, dtype=jnp.float32,
+              tile_n: int | None = None, autotune: bool = False) -> SpmmPlan:
+    """Pick the fastest device path for this blocked matrix and operand
+    width. ``N`` may be any positive width; callers pad B's columns to a
+    multiple of 128 (the plan's ``tn`` divides that padded width).
+
+    Candidates: the resident-B unrolled kernel at every fitting tile width,
+    the K-split resident-by-parts kernel when the full B tile misses VMEM,
+    and the gather kernel — ranked by the measured v5e cost model.
+
+    ``autotune=True`` (TPU only) MEASURES the model's top candidates on a
+    random operand and returns the empirical winner — the model's error
+    between close candidates is ±30%, so benches that publish numbers
+    should autotune; the one-time cost is building + timing 2–3 device
+    layouts."""
+    bh, bw = bell.block_row_size, bell.block_col_size
+    Np = -(-N // 128) * 128
+
+    if bh % 8 or bw % 128:
+        dev = BellDevice.from_host(bell, dtype=dtype)
+        return SpmmPlan(lambda B: bell_spmm_xla(dev, B),
+                        "bell_xla", tile_n or auto_tile_n(Np))
+
+    cands, chunk = _candidate_plans(bell, N, dtype, tile_n)
+    if not autotune or jax.default_backend() == "cpu" or len(cands) == 1:
+        _, kind, tn, n_parts = cands[0]
+        return _build_plan(bell, kind, tn, n_parts, chunk, dtype)
+
+    from ..bench.timing import time_op
+
+    best = None
+    K = bell.shape[1]
+    B = jnp.asarray(
+        np.random.default_rng(0).standard_normal((K, Np)).astype(np.float32),
+        dtype=dtype)
+    for _, kind, tn, n_parts in cands[:3]:
+        plan = _build_plan(bell, kind, tn, n_parts, chunk, dtype)
+        try:
+            avg, _, _ = time_op(plan.fn, B, warmup=1, reps=2,
+                                target_time=0.1)
+        except Exception:  # noqa: BLE001 — a faulting candidate loses
+            continue
+        if best is None or avg < best[0]:
+            best = (avg, plan)
+    if best is None:  # every candidate failed: fall back to the model pick
+        _, kind, tn, n_parts = cands[0]
+        return _build_plan(bell, kind, tn, n_parts, chunk, dtype)
+    return best[1]
