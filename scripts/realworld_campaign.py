@@ -210,7 +210,8 @@ def pick_block_shape(m, shapes):
     return None, 0
 
 
-def phase2_tpu(graphs: dict, out: Path, best_tau: dict, b_cols: int):
+def phase2_tpu(graphs: dict, out: Path, best_tau: dict, b_cols: int,
+               autotune: bool = False):
     from sparta_tpu.bench.sweep import (
         EXPERIMENT_BUNDLES,
         collect_csvs,
@@ -237,7 +238,7 @@ def phase2_tpu(graphs: dict, out: Path, best_tau: dict, b_cols: int):
             base = Config(
                 exp_name=f"rw_{bundle}", b_cols=b_cols, tau=tau,
                 row_block_size=bh, col_block_size=bw, dtype="bfloat16",
-                pattern_only=True,
+                pattern_only=True, autotune=autotune,
             )
             for k, v in flags.items():
                 setattr(base, k, v)
@@ -268,6 +269,7 @@ def main():
     ap.add_argument("--graphs", default="")
     ap.add_argument("--skip-tpu", action="store_true")
     ap.add_argument("--skip-parity", action="store_true")
+    ap.add_argument("--autotune", action="store_true")
     ap.add_argument("--max-oracle-rows", type=int, default=60000)
     args = ap.parse_args()
 
@@ -325,7 +327,8 @@ def main():
         }
 
     if not args.skip_tpu:
-        phase2_tpu(canon, out, best_tau, args.b_cols)
+        phase2_tpu(canon, out, best_tau, args.b_cols,
+                   autotune=args.autotune)
     return 0
 
 
