@@ -71,6 +71,7 @@ _DOT512_S = 93e-9
 _ITER_S = 115e-9
 _HBM_BPS = 700e9
 _GATHER_BPS = 950e9
+_DENSE_TPS = 190e12  # measured dense MXU bf16 throughput
 
 
 def _dot_s(bh, tn):
@@ -146,12 +147,23 @@ def _candidate_plans(bell: BELL, N: int, dtype, tile_n):
     tn_g = tile_n or auto_tile_n(Np)
     cands.append((_model_gather_s(total_blocks, bh, bw, Np, tn_g, itemsize),
                   "gather", tn_g, 1))
+    # densify + one MXU GEMM: wins when block occupancy approaches full
+    # (a fully-occupied bell does dense work plus per-block overhead)
+    M = bell.shape[0]
+    cands.append((2 * M * K * Np / _DENSE_TPS, "dense", tn_g, 1))
     return sorted(cands), chunk
 
 
 def _build_plan(bell: BELL, kind: str, tn: int, n_parts: int, chunk: int,
                 dtype) -> SpmmPlan:
     bw = bell.block_col_size
+    if kind == "dense":
+        A = jnp.asarray(bell.to_dense_permuted(), dtype=dtype)
+        return SpmmPlan(
+            lambda B: jnp.dot(A, B, preferred_element_type=jnp.float32)
+            .astype(B.dtype),
+            "bell_densified_gemm", tn,
+        )
     if kind == "unrolled":
         cdev = compact_from_host_padded(bell, chunk, dtype=dtype)
         return SpmmPlan(

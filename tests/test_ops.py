@@ -288,7 +288,9 @@ def test_plan_spmm_unrolled_and_gather_paths():
 
     # force each candidate through the cost model; both must be correct
     old_gather, old_budget = sel._model_gather_s, sel.VMEM_BUDGET
+    old_dense = sel._DENSE_TPS
     try:
+        sel._DENSE_TPS = 1.0  # dense candidate out of the running
         sel._model_gather_s = lambda *a, **k: 1e9  # force unrolled
         plan = sel.plan_spmm(bell, 128)
         assert "unrolled" in plan.backend, plan.backend
@@ -304,6 +306,7 @@ def test_plan_spmm_unrolled_and_gather_paths():
     finally:
         sel._model_gather_s = old_gather
         sel.VMEM_BUDGET = old_budget
+        sel._DENSE_TPS = old_dense
 
 
 @pytest.mark.parametrize("relu", [False, True])
@@ -415,8 +418,10 @@ def test_plan_spmm_ksplit_path():
     B = np.random.default_rng(2).standard_normal((1024, 128)).astype(np.float32)
     C_ref = m.to_scipy() @ B
     old_b, old_g = sel.VMEM_BUDGET, sel._model_gather_s
+    old_dense = sel._DENSE_TPS
     try:
         sel.VMEM_BUDGET = 700 * 1024  # full K misses; a ~3-part slice fits
+        sel._DENSE_TPS = 1.0
         sel._model_gather_s = lambda *a, **k: 1e9
         plan = sel.plan_spmm(bell, 128)
         assert "ksplit" in plan.backend, plan.backend
@@ -424,3 +429,22 @@ def test_plan_spmm_ksplit_path():
         np.testing.assert_allclose(C[:1024], C_ref, rtol=1e-4, atol=1e-4)
     finally:
         sel.VMEM_BUDGET, sel._model_gather_s = old_b, old_g
+        sel._DENSE_TPS = old_dense
+
+
+def test_plan_spmm_dense_fallback():
+    # near-full block occupancy: the densified-GEMM candidate must win and
+    # be numerically correct
+    import sparta_tpu.ops.select as sel
+    from sparta_tpu.formats import bell_from_csr, random_uniform_csr
+    from sparta_tpu.ops import pad_b_for_bell
+
+    m = random_uniform_csr(512, 512, density=0.2, seed=8)  # all blocks hit
+    bell = bell_from_csr(m, None, block_row_size=128)
+    assert bell.total_nzblocks == (512 // 128) ** 2
+    plan = sel.plan_spmm(bell, 128)
+    assert plan.backend == "bell_densified_gemm", plan.backend
+    B = np.random.default_rng(4).standard_normal((512, 128)).astype(np.float32)
+    C = np.asarray(plan(jnp.asarray(pad_b_for_bell(B, bell))))
+    np.testing.assert_allclose(C[:512], m.to_scipy() @ B, rtol=1e-4,
+                               atol=1e-4)
