@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--block", type=int, default=128)
     ap.add_argument("--bundles", default="BCSR_reord,BCSR_no_reord,CSR,GEMM,PALLAS_blocked")
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--autotune", action="store_true")
     args = ap.parse_args()
 
     from sparta_tpu.bench.device import ensure_cpu_backend
@@ -60,7 +61,7 @@ def main():
         flags = EXPERIMENT_BUNDLES[bundle]
         base = Config(exp_name=bundle, b_cols=args.b_cols,
                       row_block_size=args.block, col_block_size=args.block,
-                      tau=0.3, dtype=args.dtype)
+                      tau=0.3, dtype=args.dtype, autotune=args.autotune)
         for k, v in flags.items():
             setattr(base, k, v)
 
