@@ -779,6 +779,155 @@ def bell_spmm_pallas_compact_ksplit(
     return out.astype(out_dtype)
 
 
+def _kernel_unrolled_multirow(
+    row_ptr_ref,   # int32 [nbr+1] (SMEM), counts multiples of chunk
+    cols_ref,      # int32 [total] (SMEM)
+    vals_hbm,      # [total, bh, bw] (HBM)
+    b_hbm,         # [K, N] (HBM)
+    out_ref,       # [R*bh, tn] (VMEM)
+    b_tile,        # [K, tn] persistent VMEM scratch
+    vbuf,          # [nslots, chunk, bh, bw] VMEM
+    acc_ref,       # [bh, tn] fp32
+    bsem,
+    vsems,
+    *,
+    bw: int,
+    tn: int,
+    chunk: int,
+    nslots: int,
+    rows: int,
+):
+    """Unrolled compact kernel, ``rows`` block-rows per grid step: amortizes
+    the measured ~312 ns/step pipeline floor (grid machinery + out-tile
+    write scheduling) across R rows — the floor is 25% of the headline
+    kernel's time (docs/DESIGN.md budget table)."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            b_hbm.at[:, pl.ds(j * tn, tn)], b_tile, bsem
+        )
+        cp.start()
+        cp.wait()
+
+    for r in range(rows):  # static unroll over the row group
+        start = row_ptr_ref[i * rows + r]
+        nchunks = (row_ptr_ref[i * rows + r + 1] - start) // chunk
+
+        def vdma(c, slot, start=start):
+            return pltpu.make_async_copy(
+                vals_hbm.at[pl.ds(start + c * chunk, chunk)],
+                vbuf.at[slot],
+                vsems.at[slot],
+            )
+
+        for s in range(nslots - 1):
+            @pl.when(s < nchunks)
+            def _(s=s, vdma=vdma):
+                vdma(s, s).start()
+
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def body(c, _, vdma=vdma, nchunks=nchunks, start=start):
+            slot = jax.lax.rem(c, nslots)
+
+            @pl.when(c + (nslots - 1) < nchunks)
+            def _():
+                vdma(c + (nslots - 1),
+                     jax.lax.rem(c + (nslots - 1), nslots)).start()
+
+            vdma(c, slot).wait()
+            for k in range(chunk):
+                jb = cols_ref[start + c * chunk + k]
+                acc_ref[...] += jax.lax.dot(
+                    vbuf[slot, k],
+                    b_tile[pl.ds(jb * bw, bw), :],
+                    preferred_element_type=jnp.float32,
+                )
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, body, 0)
+        bh = acc_ref.shape[0]
+        out_ref[r * bh:(r + 1) * bh, :] = acc_ref[...].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tn", "chunk", "nslots", "rows_per_step", "out_dtype",
+                     "interpret"),
+)
+def bell_spmm_pallas_compact_unrolled_multirow(
+    bell: BellCompactDevice,
+    B: jax.Array,
+    tn: int = 512,
+    chunk: int = 4,
+    nslots: int = 2,
+    rows_per_step: int = 4,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Guard-free unrolled kernel, ``rows_per_step`` block-rows per grid
+    step.  ``bell`` from ``compact_from_host_padded(bell, chunk)`` with
+    n_block_rows padded to a rows_per_step multiple (``pad_rows``)."""
+    total, bh, bw = bell.vals_flat.shape
+    nbr = bell.n_block_rows
+    K, N = B.shape
+    R = rows_per_step
+    if N % tn:
+        raise ValueError(f"N={N} not a multiple of tile {tn}")
+    if nbr % R:
+        raise ValueError(f"n_block_rows={nbr} not a multiple of {R}")
+    if bell.chunk_multiple % chunk:
+        raise ValueError(
+            f"layout padded to multiples of {bell.chunk_multiple}, kernel "
+            f"chunk={chunk}"
+        )
+    out_dtype = out_dtype or B.dtype
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    kernel = functools.partial(
+        _kernel_unrolled_multirow, bw=bw, tn=tn, chunk=chunk, nslots=nslots,
+        rows=R,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(N // tn, nbr // R),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (R * bh, tn), lambda j, i, *_: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((K, tn), B.dtype),
+                pltpu.VMEM((nslots, chunk, bh, bw), bell.vals_flat.dtype),
+                pltpu.VMEM((bh, tn), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((nslots,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * total * bh * bw * N,
+            bytes_accessed=(
+                K * N * B.dtype.itemsize
+                + (N // tn) * total * bh * bw * bell.vals_flat.dtype.itemsize
+                + nbr * bh * N * jnp.dtype(out_dtype).itemsize
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(bell.row_ptr, bell.cols_flat, bell.vals_flat, B)
+
+
 def compact_auto_chunk(nb_row) -> int:
     """Default unroll chunk for compact_from_host_padded: ~80% of the mean
     blocks-per-row balances loop-overhead amortization against zero-block

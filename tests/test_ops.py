@@ -448,3 +448,17 @@ def test_plan_spmm_dense_fallback():
     C = np.asarray(plan(jnp.asarray(pad_b_for_bell(B, bell))))
     np.testing.assert_allclose(C[:512], m.to_scipy() @ B, rtol=1e-4,
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("rows_per_step", [2, 4])
+def test_bell_spmm_compact_unrolled_multirow(problem, rows_per_step):
+    from sparta_tpu.ops.bell_compact import (
+        bell_spmm_pallas_compact_unrolled_multirow,
+        compact_from_host_padded,
+    )
+
+    m, bell, B, C_ref = problem
+    dev = compact_from_host_padded(bell, 2).pad_rows(rows_per_step)
+    C = np.asarray(bell_spmm_pallas_compact_unrolled_multirow(
+        dev, jnp.asarray(B), tn=32, chunk=2, rows_per_step=rows_per_step))
+    np.testing.assert_allclose(C[: m.rows], C_ref, rtol=1e-5, atol=1e-5)
