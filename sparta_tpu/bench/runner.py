@@ -338,7 +338,7 @@ def run_experiment(cfg) -> dict:
         # must mirror make_backend's dtype rule (int8 structures are built
         # around bf16-sized B before quantization)
         dtype = jnp.bfloat16 if cfg.dtype in ("bfloat16", "int8") else jnp.float32
-        rng = np.random.default_rng(cfg.seed or 0)
+        rng = np.random.default_rng(cfg.seed)
         B = jnp.asarray(rng.standard_normal(b_shape).astype(np.float32), dtype=dtype)
         avg, std, _ = time_op(
             fn, B, warmup=cfg.warmup, reps=cfg.exp_repetitions,

@@ -25,7 +25,7 @@ class Config:
     symmetrize: bool = False        # -e
 
     blocking_algo: int = 3          # -a
-    seed: int = 0                   # -s
+    seed: int = 123                 # -s (123 = engine default; -s 0 is honored)
     sim_measure: int = 1            # -m
     reorder: int = 0                # -r: -1 degree-asc, 1 degree-desc, 2 scramble
     col_block_size: int = 3         # -b

@@ -119,7 +119,7 @@ class GCN:
         n_pad_rows = nbr * bh
         H = jnp.zeros((n_pad_rows, X.shape[1]), dtype=dtype)
         H = H.at[: self.n_nodes].set(X[self.perm].astype(dtype))
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = jax.default_backend() != "cpu"
         nlayers = len(params["layers"])
         for i, lp in enumerate(params["layers"]):
             # aggregate: Â @ H  (rows/cols share the same block partition)
@@ -182,7 +182,7 @@ def make_sharded_gcn_apply(model: GCN, mesh):
 
     def local_layer(ci, nb, av, h_full, w, b):
         # ci/nb/av: this shard's block-rows; h_full: replicated [n_pad, F]
-        out = bell_spmm(ci, nb, av, jax.default_backend() == "tpu", h_full)
+        out = bell_spmm(ci, nb, av, jax.default_backend() != "cpu", h_full)
         h = out @ w.astype(out.dtype) + b.astype(out.dtype)
         return h  # [n_pad/n_dev, F_out] row shard
 

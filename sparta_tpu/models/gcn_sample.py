@@ -59,13 +59,17 @@ class MiniBatch:
     seed_blocks: np.ndarray  # global block-row ids of the batch (unpadded)
 
     def tree_flatten(self):
-        # seed_blocks is host-side metadata (static across trace)
-        return (self.layers, self.in_blocks), tuple(self.seed_blocks.tolist())
+        # seed_blocks rides as a LEAF, not aux_data: aux participates in the
+        # treedef, so distinct seed sets would give every batch a distinct
+        # treedef and the jitted train step would retrace per batch —
+        # defeating the module's static-shape design. As a leaf it only
+        # fixes the SHAPE (batch size), which is what must stay constant.
+        return (self.layers, self.in_blocks, self.seed_blocks), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(layers=children[0], in_blocks=children[1],
-                   seed_blocks=np.asarray(aux, dtype=np.int64))
+                   seed_blocks=children[2])
 
 
 class BlockSampler:
@@ -177,7 +181,7 @@ def apply_minibatch(model: GCN, params, X_blocks: jax.Array,
     the real nodes)."""
     dtype = model.adj_vals.dtype
     H = X_blocks[batch.in_blocks].reshape(-1, X_blocks.shape[2]).astype(dtype)
-    use_pallas = jax.default_backend() == "tpu"
+    use_pallas = jax.default_backend() != "cpu"
     nlayers = len(params["layers"])
     for i, (lb, lp) in enumerate(zip(batch.layers, params["layers"])):
         H = bell_spmm(lb.cols_idx, lb.nb_row, lb.vals, use_pallas, H)

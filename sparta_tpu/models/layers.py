@@ -130,7 +130,7 @@ class BlockSparseLinear:
             x2 = jnp.pad(x2, ((0, 0), (0, K - x2.shape[1])))
         # custom-VJP SpMM: Pallas forward on TPU, XLA backward; padding
         # blocks get exactly-zero gradients so pruned weights stay pruned
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = jax.default_backend() != "cpu"
         y = bell_spmm(
             self.cols_idx, self.nb_row, params["vals"].astype(x.dtype),
             use_pallas, x2.T,

@@ -96,11 +96,16 @@ def dense_matmul(A: jax.Array, B: jax.Array, accum_dtype=jnp.float32) -> jax.Arr
 dense_matmul = jax.jit(dense_matmul, static_argnames=("accum_dtype",))
 
 
-# measured v5e throughputs (bench detail tables; see docs/DESIGN.md):
-# dense MXU bf16, natural-128-blocked Pallas, and the BCOO scatter path
-_DENSE_TPS = 190e12
+# measured v5e throughputs (bench detail tables; see docs/DESIGN.md).
+# _DENSE_TPS is shared with the kernel cost model in ops/select.py so a
+# recalibration cannot skew one selector and not the other.
+from .select import _DENSE_TPS  # noqa: E402
+
 _NATBELL_TPS = 140e12
 _BCOO_TPS = 0.05e12
+# densification feasibility: don't materialize a dense A beyond this
+# (v5e HBM is 16 GB; leave room for B/C and the host copy)
+DENSIFY_BYTES_CAP = 4 << 30
 
 
 def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
@@ -136,6 +141,8 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
     nzb = int(np.bitwise_count(group_bits).sum())
 
     t_dense = 2 * M * K * N / _DENSE_TPS
+    if M * K * jnp.dtype(dtype).itemsize > DENSIFY_BYTES_CAP:
+        t_dense = float("inf")  # densified A would not fit device memory
     t_natbell = 2 * nzb * 128 * 128 * Np / _NATBELL_TPS
     t_bcoo = 2 * cmat.nnz * N / _BCOO_TPS
 

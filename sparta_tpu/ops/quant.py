@@ -77,6 +77,33 @@ def bell_spmm_int8(qbell: QBellDevice, Bq: jax.Array, bscale: jax.Array) -> jax.
     return acc.reshape(nbr * bh, N)
 
 
+def _compact_quantized(bell, chunk: int, qmax: float, cast):
+    """Shared compact CSR-of-blocks quantization: per-block symmetric scale
+    amax/qmax, values cast via ``cast(blk/scale)``.  Returns
+    (row_ptr, cols, scales, qvals) numpy arrays, rows padded to chunk."""
+    import numpy as np
+
+    nb = np.asarray(bell.nb_row, dtype=np.int64)
+    nb_pad = (nb + chunk - 1) // chunk * chunk
+    row_ptr = np.concatenate(([0], np.cumsum(nb_pad))).astype(np.int32)
+    total = int(row_ptr[-1])
+    bh, bw = bell.block_row_size, bell.block_col_size
+    cols = np.zeros(total, dtype=np.int32)
+    scales = np.ones(total, dtype=np.float32)
+    q = np.zeros((max(total, 1), bh, bw), dtype=np.float32)
+    vals = np.asarray(bell.vals, dtype=np.float32)
+    for i in range(bell.n_block_rows):
+        n = int(nb[i])
+        s = row_ptr[i]
+        cols[s : s + n] = bell.cols_idx[i, :n]
+        blk = vals[i, :n]
+        amax = np.abs(blk).max(axis=(1, 2)) if n else np.zeros(0)
+        sc = np.where(amax > 0, amax / qmax, 1.0).astype(np.float32)
+        scales[s : s + n] = sc
+        q[s : s + n] = blk / sc[:, None, None]
+    return row_ptr, cols, scales, cast(q)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class QBellCompactDevice:
@@ -108,26 +135,9 @@ class QBellCompactDevice:
         """bell: host BELL. Quantizes per block (symmetric int8)."""
         import numpy as np
 
-        nb = np.asarray(bell.nb_row, dtype=np.int64)
-        nb_pad = (nb + chunk - 1) // chunk * chunk
-        row_ptr = np.concatenate(([0], np.cumsum(nb_pad))).astype(np.int32)
-        total = int(row_ptr[-1])
-        bh, bw = bell.block_row_size, bell.block_col_size
-        cols = np.zeros(total, dtype=np.int32)
-        scales = np.ones(total, dtype=np.float32)
-        q = np.zeros((max(total, 1), bh, bw), dtype=np.int8)
-        vals = np.asarray(bell.vals, dtype=np.float32)
-        for i in range(bell.n_block_rows):
-            n = int(nb[i])
-            s = row_ptr[i]
-            cols[s : s + n] = bell.cols_idx[i, :n]
-            blk = vals[i, :n]
-            amax = np.abs(blk).max(axis=(1, 2))
-            sc = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-            scales[s : s + n] = sc
-            q[s : s + n] = np.clip(
-                np.round(blk / sc[:, None, None]), -127, 127
-            ).astype(np.int8)
+        row_ptr, cols, scales, q = _compact_quantized(
+            bell, chunk, 127.0,
+            lambda x: np.clip(np.round(x), -127, 127).astype(np.int8))
         return cls(
             row_ptr=jnp.asarray(row_ptr),
             cols_flat=jnp.asarray(cols),
@@ -137,16 +147,16 @@ class QBellCompactDevice:
         )
 
 
-def _kernel_int8_unrolled(
+def _kernel_q_unrolled(
     row_ptr_ref,   # int32 [nbr+1] (SMEM), counts multiples of chunk
     cols_ref,      # int32 [total] (SMEM)
     ascale_ref,    # f32 [total] (SMEM)
     bscale_ref,    # f32 [nbc] (SMEM)
-    vals_hbm,      # int8 [total, bh, bw] (HBM)
-    b_hbm,         # int8 [K, N] (HBM)
+    vals_hbm,      # q [total, bh, bw] (HBM)
+    b_hbm,         # q [K, N] (HBM)
     out_ref,       # f32 [bh, tn] (VMEM)
-    b_tile,        # int8 [K, tn] persistent VMEM scratch
-    vbuf,          # int8 [2, chunk, bh, bw] VMEM
+    b_tile,        # q [K, tn] persistent VMEM scratch
+    vbuf,          # q [2, chunk, bh, bw] VMEM
     acc_ref,       # f32 [bh, tn]
     bsem,
     vsems,
@@ -154,210 +164,13 @@ def _kernel_int8_unrolled(
     bw: int,
     tn: int,
     chunk: int,
+    int_dot: bool,
+    upcast: bool,
 ):
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    j = pl.program_id(0)
-    i = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _():
-        cp = pltpu.make_async_copy(
-            b_hbm.at[:, pl.ds(j * tn, tn)], b_tile, bsem
-        )
-        cp.start()
-        cp.wait()
-
-    start = row_ptr_ref[i]
-    nchunks = (row_ptr_ref[i + 1] - start) // chunk
-
-    def vdma(c, slot):
-        return pltpu.make_async_copy(
-            vals_hbm.at[pl.ds(start + c * chunk, chunk)],
-            vbuf.at[slot],
-            vsems.at[slot],
-        )
-
-    @pl.when(nchunks > 0)
-    def _():
-        vdma(0, 0).start()
-
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    def body(c, _):
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < nchunks)
-        def _():
-            vdma(c + 1, jax.lax.rem(c + 1, 2)).start()
-
-        vdma(c, slot).wait()
-        for k in range(chunk):  # static unroll, guard-free (zero padding)
-            t = start + c * chunk + k
-            jb = cols_ref[t]
-            d = jax.lax.dot(
-                vbuf[slot, k],
-                b_tile[pl.ds(jb * bw, bw), :],
-                preferred_element_type=jnp.int32,
-            )
-            acc_ref[...] += d.astype(jnp.float32) * (
-                ascale_ref[t] * bscale_ref[jb]
-            )
-        return 0
-
-    jax.lax.fori_loop(0, nchunks, body, 0)
-    out_ref[...] = acc_ref[...]
-
-
-@partial(jax.jit, static_argnames=("tn", "chunk", "interpret"))
-def bell_spmm_int8_unrolled(
-    qbell: QBellCompactDevice,
-    Bq: jax.Array,        # int8 [K, N] (row-stripe quantized, flattened)
-    bscale: jax.Array,    # f32 [nbc]
-    tn: int = 512,
-    chunk: int = 4,
-    interpret: bool = False,
-) -> jax.Array:
-    """Int8 MXU blocked SpMM (2x bf16 peak on v5e): int8 x int8 -> int32
-    dots, fp32 dequant-accumulate with per-(A-block, B-stripe) scales."""
-    import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    from functools import partial as _partial
-
-    total, bh, bw = qbell.q_vals.shape
-    nbr = qbell.n_block_rows
-    K, N = Bq.shape
-    if N % tn:
-        raise ValueError(f"N={N} not a multiple of tile {tn}")
-    if qbell.chunk_multiple % chunk:
-        raise ValueError(
-            f"layout padded to multiples of {qbell.chunk_multiple}, kernel "
-            f"chunk={chunk}: rebuild with QBellCompactDevice.from_bell(bell, "
-            f"chunk={chunk})"
-        )
-    interpret = interpret or jax.default_backend() == "cpu"
-
-    kernel = _partial(_kernel_int8_unrolled, bw=bw, tn=tn, chunk=chunk)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
-            grid=(N // tn, nbr),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(
-                (bh, tn), lambda j, i, *_: (i, j), memory_space=pltpu.VMEM
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((K, tn), jnp.int8),
-                pltpu.VMEM((2, chunk, bh, bw), jnp.int8),
-                pltpu.VMEM((bh, tn), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((nbr * bh, N), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * total * bh * bw * N,
-            bytes_accessed=(
-                K * N + (N // tn) * total * bh * bw
-                + nbr * bh * N * 4
-            ),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(qbell.row_ptr, qbell.cols_flat, qbell.scales_flat, bscale,
-      qbell.q_vals, Bq)
-
-
-# --------------------------------------------------------------------- fp8 --
-FP8_MAX = 448.0  # float8_e4m3fn largest finite
-
-
-@jax.tree_util.register_pytree_node_class
-@dataclasses.dataclass
-class FP8BellCompactDevice:
-    """Compact CSR-of-blocks, fp8(e4m3) values + per-block scales, rows
-    padded to a chunk multiple (zero blocks) — the fp8 twin of
-    QBellCompactDevice."""
-
-    row_ptr: jax.Array      # int32 [nbr+1]
-    cols_flat: jax.Array    # int32 [total]
-    scales_flat: jax.Array  # f32 [total]
-    q_vals: jax.Array       # float8_e4m3fn [total, bh, bw]
-    chunk_multiple: int = 1
-
-    def tree_flatten(self):
-        return (
-            (self.row_ptr, self.cols_flat, self.scales_flat, self.q_vals),
-            self.chunk_multiple,
-        )
-
-    @classmethod
-    def tree_unflatten(cls, aux, children):
-        return cls(*children, chunk_multiple=aux)
-
-    @property
-    def n_block_rows(self) -> int:
-        return self.row_ptr.shape[0] - 1
-
-    @classmethod
-    def from_bell(cls, bell, chunk: int = 4) -> "FP8BellCompactDevice":
-        import numpy as np
-
-        nb = np.asarray(bell.nb_row, dtype=np.int64)
-        nb_pad = (nb + chunk - 1) // chunk * chunk
-        row_ptr = np.concatenate(([0], np.cumsum(nb_pad))).astype(np.int32)
-        total = int(row_ptr[-1])
-        bh, bw = bell.block_row_size, bell.block_col_size
-        cols = np.zeros(total, dtype=np.int32)
-        scales = np.ones(total, dtype=np.float32)
-        qf = np.zeros((max(total, 1), bh, bw), dtype=np.float32)
-        vals = np.asarray(bell.vals, dtype=np.float32)
-        for i in range(bell.n_block_rows):
-            n = int(nb[i])
-            s = row_ptr[i]
-            cols[s : s + n] = bell.cols_idx[i, :n]
-            blk = vals[i, :n]
-            amax = np.abs(blk).max(axis=(1, 2))
-            sc = np.where(amax > 0, amax / FP8_MAX, 1.0).astype(np.float32)
-            scales[s : s + n] = sc
-            qf[s : s + n] = blk / sc[:, None, None]
-        return cls(
-            row_ptr=jnp.asarray(row_ptr),
-            cols_flat=jnp.asarray(cols),
-            scales_flat=jnp.asarray(scales),
-            q_vals=jnp.asarray(qf, dtype=jnp.float8_e4m3fn),
-            chunk_multiple=chunk,
-        )
-
-
-def quantize_b_fp8(B: jax.Array, bw: int):
-    """Quantize B per row-stripe of width bw -> (fp8 [K, N], f32 [nbc])."""
-    Bt = B.astype(jnp.float32).reshape(-1, bw, B.shape[1])
-    amax = jnp.max(jnp.abs(Bt), axis=(1, 2))
-    scale = jnp.where(amax > 0, amax / FP8_MAX, 1.0)
-    q = (Bt / scale[:, None, None]).astype(jnp.float8_e4m3fn)
-    return q.reshape(B.shape), scale
-
-
-def _kernel_fp8_unrolled(
-    row_ptr_ref, cols_ref, ascale_ref, bscale_ref,
-    vals_hbm,      # fp8 [total, bh, bw] (HBM)
-    b_hbm,         # fp8 [K, N] (HBM)
-    out_ref,       # f32 [bh, tn] (VMEM)
-    b_tile,        # fp8 [K, tn] persistent VMEM scratch
-    vbuf,          # fp8 [2, chunk, bh, bw] VMEM
-    acc_ref,       # f32 [bh, tn]
-    bsem, vsems,
-    *, bw: int, tn: int, chunk: int, upcast: bool,
-):
+    """Shared low-precision unrolled kernel.  ``int_dot``: int8 x int8 ->
+    int32 MXU dots; otherwise float dots, optionally upcast to bf16 first
+    (fp8 on v5e, which has no native fp8 MXU path).  Dequant by the product
+    of per-(A-block, B-stripe) scales, fp32 accumulate."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -401,10 +214,15 @@ def _kernel_fp8_unrolled(
             jb = cols_ref[t]
             a = vbuf[slot, k]
             b = b_tile[pl.ds(jb * bw, bw), :]
-            if upcast:  # v5e MXU has no native fp8: bf16 passes
-                a = a.astype(jnp.bfloat16)
-                b = b.astype(jnp.bfloat16)
-            d = jax.lax.dot(a, b, preferred_element_type=jnp.float32)
+            if int_dot:
+                d = jax.lax.dot(
+                    a, b, preferred_element_type=jnp.int32
+                ).astype(jnp.float32)
+            else:
+                if upcast:
+                    a = a.astype(jnp.bfloat16)
+                    b = b.astype(jnp.bfloat16)
+                d = jax.lax.dot(a, b, preferred_element_type=jnp.float32)
             acc_ref[...] += d * (ascale_ref[t] * bscale_ref[jb])
         return 0
 
@@ -412,20 +230,9 @@ def _kernel_fp8_unrolled(
     out_ref[...] = acc_ref[...]
 
 
-@partial(jax.jit, static_argnames=("tn", "chunk", "upcast", "interpret"))
-def bell_spmm_fp8_unrolled(
-    qbell: FP8BellCompactDevice,
-    Bq: jax.Array,        # fp8 [K, N] (row-stripe quantized)
-    bscale: jax.Array,    # f32 [nbc]
-    tn: int = 512,
-    chunk: int = 4,
-    upcast: bool = True,
-    interpret: bool = False,
-) -> jax.Array:
-    """fp8(e4m3) blocked SpMM: 1-byte storage (int8-class HBM/VMEM traffic),
-    per-(A-block, B-stripe) fp32 dequant scales.  ``upcast=True`` runs the
-    dots as bf16 (v5e has no native fp8 MXU path); flip it off on hardware
-    generations with fp8 matmul units."""
+def _q_unrolled_call(qbell, Bq, bscale, tn, chunk, vdtype, int_dot, upcast,
+                     interpret):
+    """Shared pallas_call wrapper for the quantized unrolled kernels."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from functools import partial as _partial
@@ -438,12 +245,12 @@ def bell_spmm_fp8_unrolled(
     if qbell.chunk_multiple % chunk:
         raise ValueError(
             f"layout padded to multiples of {qbell.chunk_multiple}, kernel "
-            f"chunk={chunk}: rebuild with FP8BellCompactDevice.from_bell"
+            f"chunk={chunk}: rebuild from_bell with chunk={chunk}"
         )
     interpret = interpret or jax.default_backend() == "cpu"
 
-    kernel = _partial(_kernel_fp8_unrolled, bw=bw, tn=tn, chunk=chunk,
-                      upcast=upcast)
+    kernel = _partial(_kernel_q_unrolled, bw=bw, tn=tn, chunk=chunk,
+                      int_dot=int_dot, upcast=upcast)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -457,8 +264,8 @@ def bell_spmm_fp8_unrolled(
                 (bh, tn), lambda j, i, *_: (i, j), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((K, tn), jnp.float8_e4m3fn),
-                pltpu.VMEM((2, chunk, bh, bw), jnp.float8_e4m3fn),
+                pltpu.VMEM((K, tn), vdtype),
+                pltpu.VMEM((2, chunk, bh, bw), vdtype),
                 pltpu.VMEM((bh, tn), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -478,3 +285,90 @@ def bell_spmm_fp8_unrolled(
         interpret=interpret,
     )(qbell.row_ptr, qbell.cols_flat, qbell.scales_flat, bscale,
       qbell.q_vals, Bq)
+
+
+@partial(jax.jit, static_argnames=("tn", "chunk", "interpret"))
+def bell_spmm_int8_unrolled(
+    qbell: QBellCompactDevice,
+    Bq: jax.Array,        # int8 [K, N] (row-stripe quantized, flattened)
+    bscale: jax.Array,    # f32 [nbc]
+    tn: int = 512,
+    chunk: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """Int8 MXU blocked SpMM (2x bf16 peak on v5e): int8 x int8 -> int32
+    dots, fp32 dequant-accumulate with per-(A-block, B-stripe) scales."""
+    return _q_unrolled_call(qbell, Bq, bscale, tn, chunk, jnp.int8,
+                            int_dot=True, upcast=False, interpret=interpret)
+
+
+# --------------------------------------------------------------------- fp8 --
+FP8_MAX = 448.0  # float8_e4m3fn largest finite
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class FP8BellCompactDevice:
+    """Compact CSR-of-blocks, fp8(e4m3) values + per-block scales, rows
+    padded to a chunk multiple (zero blocks) — the fp8 twin of
+    QBellCompactDevice."""
+
+    row_ptr: jax.Array      # int32 [nbr+1]
+    cols_flat: jax.Array    # int32 [total]
+    scales_flat: jax.Array  # f32 [total]
+    q_vals: jax.Array       # float8_e4m3fn [total, bh, bw]
+    chunk_multiple: int = 1
+
+    def tree_flatten(self):
+        return (
+            (self.row_ptr, self.cols_flat, self.scales_flat, self.q_vals),
+            self.chunk_multiple,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, chunk_multiple=aux)
+
+    @property
+    def n_block_rows(self) -> int:
+        return self.row_ptr.shape[0] - 1
+
+    @classmethod
+    def from_bell(cls, bell, chunk: int = 4) -> "FP8BellCompactDevice":
+        row_ptr, cols, scales, q = _compact_quantized(
+            bell, chunk, FP8_MAX, lambda x: x)  # cast to fp8 on device below
+        return cls(
+            row_ptr=jnp.asarray(row_ptr),
+            cols_flat=jnp.asarray(cols),
+            scales_flat=jnp.asarray(scales),
+            q_vals=jnp.asarray(q, dtype=jnp.float8_e4m3fn),
+            chunk_multiple=chunk,
+        )
+
+
+def quantize_b_fp8(B: jax.Array, bw: int):
+    """Quantize B per row-stripe of width bw -> (fp8 [K, N], f32 [nbc])."""
+    Bt = B.astype(jnp.float32).reshape(-1, bw, B.shape[1])
+    amax = jnp.max(jnp.abs(Bt), axis=(1, 2))
+    scale = jnp.where(amax > 0, amax / FP8_MAX, 1.0)
+    q = (Bt / scale[:, None, None]).astype(jnp.float8_e4m3fn)
+    return q.reshape(B.shape), scale
+
+
+@partial(jax.jit, static_argnames=("tn", "chunk", "upcast", "interpret"))
+def bell_spmm_fp8_unrolled(
+    qbell: FP8BellCompactDevice,
+    Bq: jax.Array,        # fp8 [K, N] (row-stripe quantized)
+    bscale: jax.Array,    # f32 [nbc]
+    tn: int = 512,
+    chunk: int = 4,
+    upcast: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """fp8(e4m3) blocked SpMM: 1-byte storage (int8-class HBM/VMEM traffic),
+    per-(A-block, B-stripe) fp32 dequant scales.  ``upcast=True`` runs the
+    dots as bf16 (v5e has no native fp8 MXU path — measured storage-only:
+    the VPU upcasts dominate); flip it off on hardware generations with fp8
+    matmul units."""
+    return _q_unrolled_call(qbell, Bq, bscale, tn, chunk, jnp.float8_e4m3fn,
+                            int_dot=False, upcast=upcast, interpret=interpret)

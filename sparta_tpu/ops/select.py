@@ -72,6 +72,7 @@ _ITER_S = 115e-9
 _HBM_BPS = 700e9
 _GATHER_BPS = 950e9
 _DENSE_TPS = 190e12  # measured dense MXU bf16 throughput
+DENSIFY_BYTES_CAP = 4 << 30  # max dense-A device bytes (16 GB HBM, headroom)
 
 
 def _dot_s(bh, tn):
@@ -135,9 +136,12 @@ def _candidate_plans(bell: BELL, N: int, dtype, tile_n):
                                   itemsize)
             cands.append((t, "unrolled", tn, 1))
         else:
-            # K-split: smallest part count whose B slice is VMEM-resident
+            # K-split: smallest part count whose B slice is VMEM-resident.
+            # The builder slices k_part*bw = ceil(nbc/P)*bw rows, up to
+            # bw-1 rows more than ceil(K/P) — check the REAL slice size.
+            nbc = -(-K // bw)
             for P in range(2, 65):
-                Kp = -(-K // P)
+                Kp = -(-nbc // P) * bw
                 if unrolled_vmem_bytes(Kp, tn, bh, bw, 2, itemsize) \
                         <= VMEM_BUDGET:
                     t = _model_ksplit_s(total_blocks, nbr, bh, bw, K, Np, tn,
@@ -148,9 +152,11 @@ def _candidate_plans(bell: BELL, N: int, dtype, tile_n):
     cands.append((_model_gather_s(total_blocks, bh, bw, Np, tn_g, itemsize),
                   "gather", tn_g, 1))
     # densify + one MXU GEMM: wins when block occupancy approaches full
-    # (a fully-occupied bell does dense work plus per-block overhead)
+    # (a fully-occupied bell does dense work plus per-block overhead);
+    # only feasible when the dense A fits device memory
     M = bell.shape[0]
-    cands.append((2 * M * K * Np / _DENSE_TPS, "dense", tn_g, 1))
+    if M * K * itemsize <= DENSIFY_BYTES_CAP:
+        cands.append((2 * M * K * Np / _DENSE_TPS, "dense", tn_g, 1))
     return sorted(cands), chunk
 
 

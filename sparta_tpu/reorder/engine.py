@@ -69,7 +69,7 @@ class BlockingEngine:
             use_groups=cfg.sim_use_groups,
             use_pattern=cfg.sim_use_pattern,
             force_fixed_size=cfg.force_fixed_size,
-            seed=cfg.seed or 123,
+            seed=cfg.seed,
         )
 
     # ------------------------------------------------------------------

@@ -341,3 +341,35 @@ def test_minibatch_train_step_decreases_loss():
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_minibatch_no_retrace_across_resamples():
+    """One jit trace must serve every resampled batch (the treedef must not
+    encode the seed set) — found as a per-batch recompile in review."""
+    import optax
+
+    from sparta_tpu.models import (
+        BlockSampler,
+        features_to_blocks,
+        make_minibatch_train_step,
+        seed_labels,
+    )
+
+    model = _toy_graph_model()
+    nbr = model.adj_vals.shape[0]
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((model.n_nodes, 12)).astype(np.float32)
+    labels = rng.integers(0, 4, model.n_nodes)
+    mask = np.ones(model.n_nodes, dtype=np.float32)
+    opt = optax.adam(1e-2)
+    st = opt.init(params)
+    step = make_minibatch_train_step(model, opt)
+    sampler = BlockSampler(model, fanout=3, seed=1)
+    Xb = features_to_blocks(model, jnp.asarray(X))
+    for _ in range(4):
+        seeds = rng.choice(nbr, size=min(4, nbr), replace=False)
+        batch = sampler.sample(seeds, n_layers=2)
+        lab, msk = seed_labels(model, labels, mask, batch)
+        params, st, _ = step(params, st, Xb, batch, lab, msk)
+    assert step._cache_size() == 1, step._cache_size()
