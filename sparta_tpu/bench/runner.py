@@ -259,53 +259,42 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
 
         from ..ops.select import VMEM_BUDGET, auto_tile_n, unrolled_vmem_bytes
 
-        if cfg.dtype == "int8" and bell.block_row_size % 8 == 0                 and bell.block_col_size % 128 == 0:
-            from ..ops import bell_spmm_int8_unrolled, compact_auto_chunk, quantize_b
+        if cfg.dtype in ("int8", "fp8") and bell.block_row_size % 8 == 0 \
+                and bell.block_col_size % 128 == 0:
+            from ..ops import (
+                FP8BellCompactDevice,
+                bell_spmm_fp8_unrolled,
+                bell_spmm_int8_unrolled,
+                compact_auto_chunk,
+                quantize_b,
+                quantize_b_fp8,
+            )
             from ..ops.quant import QBellCompactDevice
 
             chunk = compact_auto_chunk(bell.nb_row)
             bw = bell.block_col_size
             tn = cfg.tile_n or auto_tile_n(Np)
-            # the int8 kernel keeps an int8 [K, tn] B tile resident in VMEM;
-            # large-K matrices must fall through to the bf16 plan (which has
-            # a gather path) instead of faulting the dispatch
-            fits = unrolled_vmem_bytes(
-                bell.shape[1], tn, bell.block_row_size, bw, chunk, 1
-            ) <= VMEM_BUDGET
-            if fits:
-                qc = QBellCompactDevice.from_bell(bell, chunk=chunk)
-
-                def fn(B, qc=qc, bw=bw, tn=tn, chunk=chunk):
-                    Bq, bscale = quantize_b(B, bw)
-                    return bell_spmm_int8_unrolled(
-                        qc, Bq.reshape(B.shape), bscale, tn=tn, chunk=chunk)
-
-                return fn, (bell.shape[1], Np), f"bell_int8_unrolled_tn{tn}_c{chunk}", fl
-
-        if cfg.dtype == "fp8" and bell.block_row_size % 8 == 0 \
-                and bell.block_col_size % 128 == 0:
-            from ..ops import (
-                FP8BellCompactDevice,
-                bell_spmm_fp8_unrolled,
-                compact_auto_chunk,
-                quantize_b_fp8,
-            )
-
-            chunk = compact_auto_chunk(bell.nb_row)
-            bw = bell.block_col_size
-            tn = cfg.tile_n or auto_tile_n(Np)
+            # the quantized kernels keep a 1-byte [K, tn] B tile resident in
+            # VMEM; large-K matrices fall through to the bf16 plan (which
+            # has gather/K-split paths) instead of faulting the dispatch
             if unrolled_vmem_bytes(
                 bell.shape[1], tn, bell.block_row_size, bw, chunk, 1
             ) <= VMEM_BUDGET:
-                q8 = FP8BellCompactDevice.from_bell(bell, chunk=chunk)
+                if cfg.dtype == "int8":
+                    dev_q = QBellCompactDevice.from_bell(bell, chunk=chunk)
+                    quant, kern = quantize_b, bell_spmm_int8_unrolled
+                else:
+                    dev_q = FP8BellCompactDevice.from_bell(bell, chunk=chunk)
+                    quant, kern = quantize_b_fp8, bell_spmm_fp8_unrolled
 
-                def fn8(B, q8=q8, bw=bw, tn=tn, chunk=chunk):
-                    Bq, bscale = quantize_b_fp8(B, bw)
-                    return bell_spmm_fp8_unrolled(q8, Bq, bscale, tn=tn,
-                                                  chunk=chunk)
+                def fnq(B, dev_q=dev_q, bw=bw, tn=tn, chunk=chunk,
+                        quant=quant, kern=kern):
+                    Bq, bscale = quant(B, bw)
+                    return kern(dev_q, jnp.asarray(Bq).reshape(B.shape),
+                                bscale, tn=tn, chunk=chunk)
 
-                return fn8, (bell.shape[1], Np), \
-                    f"bell_fp8_unrolled_tn{tn}_c{chunk}", fl
+                return fnq, (bell.shape[1], Np), \
+                    f"bell_{cfg.dtype}_unrolled_tn{tn}_c{chunk}", fl
 
         from ..ops import plan_spmm
 
