@@ -79,7 +79,9 @@ def run_oracle(el_path: Path, out: Path, timeout: int = 1800, **flags):
     by the comment skip and the first real edge would be lost as the header."""
     import numpy as np
 
-    hacked = Path(str(el_path) + ".hdr")
+    # write the header-hacked copy under the campaign's output directory —
+    # never next to the source (the reference tree is read-only upstream)
+    hacked = out.parent / (el_path.name + ".hdr")
     if not hacked.exists():
         hacked.write_text("9999 9999\n" + el_path.read_text())
     args = [str(ORACLE), "-f", str(hacked), "-o", str(out), "-v", "0", "-P", "1"]

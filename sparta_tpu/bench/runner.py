@@ -324,9 +324,11 @@ def run_experiment(cfg) -> dict:
     flops = 0
     if algo != MultiplicationAlgo.no_mult:
         fn, b_shape, backend_name, flops = make_backend(cfg, m, engine)
-        # must mirror make_backend's dtype rule (int8 structures are built
-        # around bf16-sized B before quantization)
-        dtype = jnp.bfloat16 if cfg.dtype in ("bfloat16", "int8") else jnp.float32
+        # must mirror make_backend's dtype rule (quantized structures are
+        # built around bf16-sized B before quantization; an fp32 B here would
+        # double the resident tile the VMEM budget check modeled)
+        dtype = jnp.bfloat16 if cfg.dtype in ("bfloat16", "int8", "fp8") \
+            else jnp.float32
         rng = np.random.default_rng(cfg.seed)
         B = jnp.asarray(rng.standard_normal(b_shape).astype(np.float32), dtype=dtype)
         avg, std, _ = time_op(

@@ -38,8 +38,17 @@ EXPERIMENT_BUNDLES = {
 
 
 def config_hash(cfg: Config) -> str:
-    payload = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)
-               if f.name not in ("outfile", "verbose")}
+    """Stable cell key: hash only fields that differ from the Config default,
+    so adding new defaults-only fields to Config keeps old cell hashes (and
+    cached sweep results) valid."""
+    payload = {}
+    for f in dataclasses.fields(cfg):
+        if f.name in ("outfile", "verbose"):
+            continue
+        v = getattr(cfg, f.name)
+        if f.default is not dataclasses.MISSING and v == f.default:
+            continue
+        payload[f.name] = v
     return hashlib.sha1(json.dumps(payload, sort_keys=True).encode()).hexdigest()[:16]
 
 

@@ -32,10 +32,18 @@ def initialize_multihost(
             num_processes=num_processes,
             process_id=process_id,
         )
-    try:
+        # explicit coordinates: a failure here is a misconfiguration, not a
+        # single-process environment — never degrade silently
         jax.distributed.initialize(**kwargs)
+        if num_processes is not None and jax.process_count() != num_processes:
+            raise RuntimeError(
+                f"jax.distributed came up with {jax.process_count()} "
+                f"processes, expected {num_processes}")
+        return
+    try:
+        jax.distributed.initialize()
     except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+        pass  # already initialized or single-process auto-detect
 
 
 def row_range_for_host(rows: int, host: int, n_hosts: int) -> tuple[int, int]:

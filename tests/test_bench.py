@@ -181,3 +181,47 @@ def test_sweep_extract_error_line():
     assert _extract_error_line("") == "?"
     assert _extract_error_line("just noise\nno exceptions here") \
         == "just noise | no exceptions here"
+
+
+def test_fp8_fallthrough_times_bf16_b(matrix_file, tmp_path, monkeypatch):
+    """Regression: fp8 configs that fall through to the bf16 plan (blocks not
+    quant-tileable, or the VMEM guard on large K) must time a bf16 B operand.
+    make_backend sizes structures and VMEM budgets at itemsize 2 for fp8; an
+    fp32 B doubles the resident [K, tn] tile the selector modeled."""
+    import jax.numpy as jnp
+
+    import sparta_tpu.bench.runner as runner_mod
+
+    captured = {}
+    orig = runner_mod.time_op
+
+    def spy(fn, B, **kw):
+        captured["dtype"] = B.dtype
+        return orig(fn, B, **kw)
+
+    monkeypatch.setattr(runner_mod, "time_op", spy)
+    # col_block_size=16 (not a multiple of 128) keeps the fp8 quantized
+    # kernel ineligible, so -M 8 falls through to the bf16 plan
+    cfg = base_cfg(matrix_file, tmp_path, multiplication_algo=8, dtype="fp8")
+    run_experiment(cfg)
+    assert captured["dtype"] == jnp.bfloat16
+
+
+def test_config_hash_stable_across_new_default_fields(tmp_path):
+    """Adding a defaults-only field to Config must not change cell hashes
+    (cached sweep results stay valid across schema growth)."""
+    import dataclasses
+
+    from sparta_tpu.bench.sweep import config_hash
+
+    cfg = Config(filename="m.el", tau=0.3, blocking_algo=5)
+    h = config_hash(cfg)
+    # defaults-only fields do not contribute: the same explicit knobs give
+    # the same hash regardless of untouched fields
+    cfg2 = Config(filename="m.el", tau=0.3, blocking_algo=5,
+                  csr_impl="auto", autotune=False)  # explicit defaults
+    assert config_hash(cfg2) == h
+    # a real knob change does change the hash
+    assert config_hash(dataclasses.replace(cfg, tau=0.4)) != h
+    # outfile/verbose never contribute
+    assert config_hash(dataclasses.replace(cfg, outfile="x", verbose=2)) == h
