@@ -95,13 +95,20 @@ def split_bell_cols(bell: BELL, n_parts: int):
         width = max(width, int(sel.sum(axis=1).max()) if sel.size else 0)
     width = max(width, 1)
     for lo, sel in sel_cache:
-        idx = np.full((nbr, width), -1, dtype=bell.cols_idx.dtype)
-        vals = np.zeros((nbr, width) + bell.vals.shape[2:], dtype=bell.vals.dtype)
         nb = sel.sum(axis=1).astype(bell.nb_row.dtype)
-        for r in range(nbr):
-            cols = np.flatnonzero(sel[r])
-            idx[r, : cols.size] = bell.cols_idx[r, cols] - lo
-            vals[r, : cols.size] = bell.vals[r, cols]
+        # compact each row's selected blocks to the front, preserving order
+        # (stable argsort of ~sel), then mask the tail — vectorized over all
+        # rows (the per-row flatnonzero loop dominated ingest on big graphs)
+        order = np.argsort(~sel, axis=1, kind="stable")[:, :width]
+        in_part = np.arange(width)[None, :] < nb[:, None]
+        idx = np.where(
+            in_part, np.take_along_axis(bell.cols_idx, order, axis=1) - lo, -1
+        ).astype(bell.cols_idx.dtype)
+        vals = np.where(
+            in_part[:, :, None, None],
+            np.take_along_axis(bell.vals, order[:, :, None, None], axis=1),
+            0,
+        ).astype(bell.vals.dtype)
         parts_idx.append(idx)
         parts_vals.append(vals)
         parts_nb.append(nb)
