@@ -42,12 +42,16 @@ def _flatten_bell_rows(bell: BELL, row_ptr: np.ndarray):
     vals = np.zeros((max(total, 1), bell.block_row_size, bell.block_col_size),
                     dtype=np.float32)
     if bell.cols_idx.size:
-        max_nb = bell.cols_idx.shape[1]
+        nbr, max_nb = bell.cols_idx.shape
         valid = np.arange(max_nb, dtype=np.int64)[None, :] < nb[:, None]
         dest = row_ptr[:-1].astype(np.int64)[:, None] + np.arange(
             max_nb, dtype=np.int64)[None, :]
-        cols[dest[valid]] = bell.cols_idx[valid]
-        vals[dest[valid]] = bell.vals[valid]
+        # integer row gather/scatter on a 2D view — numpy boolean advanced
+        # indexing over the 4D vals runs ~25x slower than this
+        src = np.flatnonzero(valid.ravel())
+        dst = dest.ravel()[src]
+        cols[dst] = bell.cols_idx.ravel()[src]
+        vals[dst] = bell.vals.reshape(nbr * max_nb, *bell.vals.shape[2:])[src]
     return cols, vals
 
 

@@ -94,21 +94,25 @@ def split_bell_cols(bell: BELL, n_parts: int):
         sel_cache.append((lo, sel))
         width = max(width, int(sel.sum(axis=1).max()) if sel.size else 0)
     width = max(width, 1)
+    max_nb = bell.cols_idx.shape[1] if bell.cols_idx.size else 0
+    vals2d = bell.vals.reshape((nbr * max_nb,) + bell.vals.shape[2:]) \
+        if max_nb else bell.vals
     for lo, sel in sel_cache:
         nb = sel.sum(axis=1).astype(bell.nb_row.dtype)
         # compact each row's selected blocks to the front, preserving order
-        # (stable argsort of ~sel), then mask the tail — vectorized over all
-        # rows (the per-row flatnonzero loop dominated ingest on big graphs)
+        # (stable argsort of ~sel), then zero the tail — vectorized over all
+        # rows (the per-row flatnonzero loop dominated ingest on big graphs);
+        # gathers go through flat integer indices on a 2D view of vals
+        # (boolean/elementwise fancy indexing of the 4D array is ~25x slower)
         order = np.argsort(~sel, axis=1, kind="stable")[:, :width]
         in_part = np.arange(width)[None, :] < nb[:, None]
         idx = np.where(
             in_part, np.take_along_axis(bell.cols_idx, order, axis=1) - lo, -1
         ).astype(bell.cols_idx.dtype)
-        vals = np.where(
-            in_part[:, :, None, None],
-            np.take_along_axis(bell.vals, order[:, :, None, None], axis=1),
-            0,
-        ).astype(bell.vals.dtype)
+        flat = (np.arange(nbr, dtype=np.int64)[:, None] * max_nb + order)
+        vals = vals2d[flat.ravel()].reshape(
+            (nbr, width) + bell.vals.shape[2:]).astype(bell.vals.dtype)
+        vals *= in_part[:, :, None, None].astype(vals.dtype)
         parts_idx.append(idx)
         parts_vals.append(vals)
         parts_nb.append(nb)
