@@ -16,6 +16,12 @@ This kernel removes both:
 
 HBM traffic = K*N + nzblocks*bh*bw*(N/tn) + M*N, compute-bound once block
 density clears the MXU ridge.
+
+All resident-B variants (plain / multirow / chunked / unrolled /
+unrolled_multirow / fused-epilogue) share ONE kernel body and ONE
+``pallas_call`` builder, parameterized by (chunk, nslots, rows, guarded,
+epilogue) — the scaffolding (grid spec, scratch, cost estimate) is written
+once so a fix propagates everywhere.
 """
 from __future__ import annotations
 
@@ -142,21 +148,42 @@ class BellCompactDevice:
         )
 
 
-def _kernel(
+# --------------------------------------------------------------------------
+# unified resident-B kernel body + pallas_call builder
+# --------------------------------------------------------------------------
+
+def _kernel_resident(
     row_ptr_ref,   # int32 [nbr+1] (SMEM)
-    cols_ref,      # int32 [nzblocks] (SMEM)
-    vals_hbm,      # [nzblocks, bh, bw] (HBM)
+    cols_ref,      # int32 [total] (SMEM)
+    vals_hbm,      # [total, bh, bw] (HBM)
     b_hbm,         # [K, N] (HBM)
-    out_ref,       # [bh, tn] (VMEM)
-    b_tile,        # [K, tn] persistent VMEM scratch
-    vbuf,          # [2, bh, bw] VMEM
-    acc_ref,       # [bh, tn] fp32
-    bsem,          # DMA sem
-    vsems,         # DMA sems (2,)
-    *,
+    *refs,         # [bias_ref f32 [1,1,bh] if has_bias,] out_ref [rows*bh,tn],
+                   # b_tile [K,tn], vbuf [nslots,chunk,bh,bw], acc_ref, bsem,
+                   # vsems (nslots,)
     bw: int,
     tn: int,
+    chunk: int,
+    nslots: int,
+    rows: int,
+    guarded: bool,
+    has_bias: bool = False,
+    relu: bool = False,
 ):
+    """One body for every resident-B variant.
+
+    ``chunk`` blocks per vals DMA, an ``nslots``-deep DMA pipeline, ``rows``
+    block-rows per grid step (amortizes the measured ~312 ns/step pipeline
+    floor).  ``guarded=True`` guards the intra-chunk dots with ``pl.when``
+    (rows need no chunk padding); ``guarded=False`` runs them unguarded and
+    requires every row's block count to be a chunk multiple
+    (compact_from_host_padded) — on v5e one fori_loop iteration (~115ns) and
+    one pl.when (~90ns) each cost as much as a 128x128x512 dot (~93ns), so
+    guard-free unrolling is the difference between ~50% and ~85% of peak."""
+    if has_bias:
+        bias_ref, out_ref, b_tile, vbuf, acc_ref, bsem, vsems = refs
+    else:
+        out_ref, b_tile, vbuf, acc_ref, bsem, vsems = refs
+        bias_ref = None
     j = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -169,39 +196,162 @@ def _kernel(
         cp.start()
         cp.wait()
 
-    start = row_ptr_ref[i]
-    nb = row_ptr_ref[i + 1] - start
+    for r in range(rows):  # static unroll over the row group
+        start = row_ptr_ref[i * rows + r]
+        nb = row_ptr_ref[i * rows + r + 1] - start
+        nchunks = (nb + chunk - 1) // chunk if guarded else nb // chunk
 
-    def vdma(k, slot):
-        return pltpu.make_async_copy(
-            vals_hbm.at[start + k], vbuf.at[slot], vsems.at[slot]
+        def vdma(c, slot, start=start):
+            return pltpu.make_async_copy(
+                vals_hbm.at[pl.ds(start + c * chunk, chunk)],
+                vbuf.at[slot],
+                vsems.at[slot],
+            )
+
+        for s in range(nslots - 1):  # prime the pipeline
+            @pl.when(s < nchunks)
+            def _(s=s, vdma=vdma):
+                vdma(s, s).start()
+
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def body(c, _, vdma=vdma, nchunks=nchunks, nb=nb, start=start):
+            slot = jax.lax.rem(c, nslots)
+
+            @pl.when(c + (nslots - 1) < nchunks)
+            def _():
+                vdma(c + (nslots - 1),
+                     jax.lax.rem(c + (nslots - 1), nslots)).start()
+
+            vdma(c, slot).wait()
+            for k in range(chunk):  # static unroll over the chunk
+                t = c * chunk + k
+
+                def dot(t=t, k=k, slot=slot):
+                    jb = cols_ref[start + t]
+                    acc_ref[...] += jax.lax.dot(
+                        vbuf[slot, k],
+                        b_tile[pl.ds(jb * bw, bw), :],
+                        preferred_element_type=jnp.float32,
+                    )
+
+                if guarded and chunk > 1:
+                    pl.when(t < nb)(dot)
+                else:  # chunk==1 never overruns; unrolled rows are padded
+                    dot()
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, body, 0)
+        y = acc_ref[...]
+        if has_bias:
+            y = y + bias_ref[0, 0][:, None]
+            if relu:
+                y = jnp.maximum(y, 0.0)
+        bh = acc_ref.shape[0]
+        out_ref[r * bh:(r + 1) * bh, :] = y.astype(out_ref.dtype)
+
+
+def _cost_estimate(bell, B, tn, out_dtype, resident_b: bool):
+    """Written once for every variant: the only difference is whether the B
+    tile is VMEM-resident (read K*N once) or HBM-gathered per block."""
+    total, bh, bw = bell.vals_flat.shape
+    nbr = bell.n_block_rows
+    K, N = B.shape
+    vals_bytes = (N // tn) * total * bh * bw * bell.vals_flat.dtype.itemsize
+    out_bytes = nbr * bh * N * jnp.dtype(out_dtype).itemsize
+    if resident_b:
+        b_bytes = K * N * B.dtype.itemsize
+    else:
+        b_bytes = (N // tn) * total * bw * tn * B.dtype.itemsize
+    return pl.CostEstimate(
+        flops=2 * total * bh * bw * N,
+        bytes_accessed=b_bytes + vals_bytes + out_bytes,
+        transcendentals=0,
+    )
+
+
+def _resident_call(
+    bell: BellCompactDevice,
+    B: jax.Array,
+    *,
+    tn: int,
+    chunk: int,
+    nslots: int,
+    rows: int,
+    guarded: bool,
+    out_dtype,
+    interpret: bool,
+    bias: jax.Array | None = None,
+    relu: bool = False,
+):
+    total, bh, bw = bell.vals_flat.shape
+    nbr = bell.n_block_rows
+    K, N = B.shape
+    kernel = functools.partial(
+        _kernel_resident, bw=bw, tn=tn, chunk=chunk, nslots=nslots,
+        rows=rows, guarded=guarded, has_bias=bias is not None, relu=relu,
+    )
+    extra_inputs, extra_specs = (), ()
+    if bias is not None:
+        assert rows == 1, "fused epilogue supports rows_per_step=1 only"
+        extra_inputs = (bias,)
+        extra_specs = (
+            pl.BlockSpec((1, 1, bh), lambda j, i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(N // tn, nbr // rows),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),  # vals stay in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # B stays in HBM
+                *extra_specs,
+            ],
+            out_specs=pl.BlockSpec(
+                (rows * bh, tn), lambda j, i, *_: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((K, tn), B.dtype),
+                pltpu.VMEM((nslots, chunk, bh, bw), bell.vals_flat.dtype),
+                pltpu.VMEM((bh, tn), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((nslots,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=_cost_estimate(bell, B, tn, out_dtype, resident_b=True),
+        interpret=interpret,
+    )(bell.row_ptr, bell.cols_flat, bell.vals_flat, B, *extra_inputs)
+
+
+def _check_tile(N, tn):
+    if N % tn:
+        raise ValueError(f"N={N} not a multiple of tile {tn}")
+
+
+def _check_chunk_padding(bell, chunk):
+    if bell.chunk_multiple % chunk:
+        raise ValueError(
+            f"layout padded to multiples of {bell.chunk_multiple}, kernel "
+            f"chunk={chunk}: build with compact_from_host_padded(bell, "
+            f"{chunk}) — unpadded rows would silently drop trailing blocks"
         )
 
-    @pl.when(nb > 0)
-    def _():
-        vdma(0, 0).start()
 
-    acc_ref[...] = jnp.zeros_like(acc_ref)
+def _check_rows(nbr, R):
+    if nbr % R:
+        raise ValueError(f"n_block_rows={nbr} not a multiple of {R}")
 
-    def body(k, _):
-        slot = jax.lax.rem(k, 2)
 
-        @pl.when(k + 1 < nb)
-        def _():
-            vdma(k + 1, jax.lax.rem(k + 1, 2)).start()
-
-        vdma(k, slot).wait()
-        jb = cols_ref[start + k]
-        acc_ref[...] += jax.lax.dot(
-            vbuf[slot],
-            b_tile[pl.ds(jb * bw, bw), :],
-            preferred_element_type=jnp.float32,
-        )
-        return 0
-
-    jax.lax.fori_loop(0, nb, body, 0)
-    out_ref[...] = acc_ref[...].astype(out_ref.dtype)
-
+# --------------------------------------------------------------------------
+# public resident-B variants
+# --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("tn", "out_dtype", "interpret"))
 def bell_spmm_pallas_compact(
@@ -213,117 +363,12 @@ def bell_spmm_pallas_compact(
 ) -> jax.Array:
     """C[permuted rows] = A @ B.  Requires K*tn*itemsize + small buffers to
     fit VMEM (see auto selector in bell_pallas)."""
-    total, bh, bw = bell.vals_flat.shape
-    nbr = bell.n_block_rows
-    K, N = B.shape
-    if N % tn:
-        raise ValueError(f"N={N} not a multiple of tile {tn}")
-    out_dtype = out_dtype or B.dtype
-    interpret = interpret or jax.default_backend() == "cpu"
-
-    kernel = functools.partial(_kernel, bw=bw, tn=tn)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(N // tn, nbr),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # vals stay in HBM
-                pl.BlockSpec(memory_space=pl.ANY),  # B stays in HBM
-            ],
-            out_specs=pl.BlockSpec(
-                (bh, tn), lambda j, i, *_: (i, j), memory_space=pltpu.VMEM
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((K, tn), B.dtype),
-                pltpu.VMEM((2, bh, bw), bell.vals_flat.dtype),
-                pltpu.VMEM((bh, tn), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * total * bh * bw * N,
-            bytes_accessed=(
-                K * N * B.dtype.itemsize
-                + (N // tn) * total * bh * bw * bell.vals_flat.dtype.itemsize
-                + nbr * bh * N * jnp.dtype(out_dtype).itemsize
-            ),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(bell.row_ptr, bell.cols_flat, bell.vals_flat, B)
-
-
-def _kernel_multirow(
-    row_ptr_ref,   # int32 [nbr+1] (SMEM)
-    cols_ref,      # int32 [nzblocks] (SMEM)
-    vals_hbm,      # [nzblocks, bh, bw] (HBM)
-    b_hbm,         # [K, N] (HBM)
-    out_ref,       # [R*bh, tn] (VMEM)
-    b_tile,        # [K, tn] persistent VMEM scratch
-    vbuf,          # [2, bh, bw] VMEM
-    acc_ref,       # [bh, tn] fp32
-    bsem,          # DMA sem
-    vsems,         # DMA sems (2,)
-    *,
-    bw: int,
-    tn: int,
-    rows: int,
-):
-    """Compact kernel, ``rows`` block-rows per grid step (amortizes the
-    fixed per-step cost across R rows; measured neutral-to-slower on v5e at
-    the headline shape — step overhead is NOT the bottleneck there — kept
-    for shapes with many near-empty block-rows)."""
-    j = pl.program_id(0)
-    i = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _():
-        cp = pltpu.make_async_copy(
-            b_hbm.at[:, pl.ds(j * tn, tn)], b_tile, bsem
-        )
-        cp.start()
-        cp.wait()
-
-    for r in range(rows):  # static unroll
-        start = row_ptr_ref[i * rows + r]
-        nb = row_ptr_ref[i * rows + r + 1] - start
-
-        def vdma(k, slot, start=start):
-            return pltpu.make_async_copy(
-                vals_hbm.at[start + k], vbuf.at[slot], vsems.at[slot]
-            )
-
-        @pl.when(nb > 0)
-        def _(vdma=vdma):
-            vdma(0, 0).start()
-
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-        def body(k, _, vdma=vdma, nb=nb, start=start):
-            slot = jax.lax.rem(k, 2)
-
-            @pl.when(k + 1 < nb)
-            def _():
-                vdma(k + 1, jax.lax.rem(k + 1, 2)).start()
-
-            vdma(k, slot).wait()
-            jb = cols_ref[start + k]
-            acc_ref[...] += jax.lax.dot(
-                vbuf[slot],
-                b_tile[pl.ds(jb * bw, bw), :],
-                preferred_element_type=jnp.float32,
-            )
-            return 0
-
-        jax.lax.fori_loop(0, nb, body, 0)
-        bh = acc_ref.shape[0]
-        out_ref[r * bh:(r + 1) * bh, :] = acc_ref[...].astype(out_ref.dtype)
+    _check_tile(B.shape[1], tn)
+    return _resident_call(
+        bell, B, tn=tn, chunk=1, nslots=2, rows=1, guarded=True,
+        out_dtype=out_dtype or B.dtype,
+        interpret=interpret or jax.default_backend() == "cpu",
+    )
 
 
 @functools.partial(
@@ -337,135 +382,19 @@ def bell_spmm_pallas_compact_multirow(
     out_dtype=None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Compact kernel with ``rows_per_step`` block-rows per grid step.
+    """Compact kernel with ``rows_per_step`` block-rows per grid step
+    (measured neutral-to-slower at the headline shape — step overhead is not
+    the bottleneck there — kept for shapes with many near-empty block-rows).
 
     Requires n_block_rows % rows_per_step == 0 (pad with empty block-rows
     via ``BellCompactDevice.pad_rows``)."""
-    total, bh, bw = bell.vals_flat.shape
-    nbr = bell.n_block_rows
-    K, N = B.shape
-    R = rows_per_step
-    if N % tn:
-        raise ValueError(f"N={N} not a multiple of tile {tn}")
-    if nbr % R:
-        raise ValueError(f"n_block_rows={nbr} not a multiple of {R}")
-    out_dtype = out_dtype or B.dtype
-    interpret = interpret or jax.default_backend() == "cpu"
-
-    kernel = functools.partial(_kernel_multirow, bw=bw, tn=tn, rows=R)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(N // tn, nbr // R),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(
-                (R * bh, tn), lambda j, i, *_: (i, j), memory_space=pltpu.VMEM
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((K, tn), B.dtype),
-                pltpu.VMEM((2, bh, bw), bell.vals_flat.dtype),
-                pltpu.VMEM((bh, tn), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * total * bh * bw * N,
-            bytes_accessed=(
-                K * N * B.dtype.itemsize
-                + (N // tn) * total * bh * bw * bell.vals_flat.dtype.itemsize
-                + nbr * bh * N * jnp.dtype(out_dtype).itemsize
-            ),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(bell.row_ptr, bell.cols_flat, bell.vals_flat, B)
-
-
-def _kernel_chunked(
-    row_ptr_ref,   # int32 [nbr+1] (SMEM)
-    cols_ref,      # int32 [nzblocks+pad] (SMEM)
-    vals_hbm,      # [nzblocks+pad, bh, bw] (HBM)
-    b_hbm,         # [K, N] (HBM)
-    out_ref,       # [bh, tn] (VMEM)
-    b_tile,        # [K, tn] persistent VMEM scratch
-    vbuf,          # [nslots, chunk, bh, bw] VMEM
-    acc_ref,       # [bh, tn] fp32
-    bsem,          # DMA sem
-    vsems,         # DMA sems (nslots,)
-    *,
-    bw: int,
-    tn: int,
-    chunk: int,
-    nslots: int,
-):
-    """Compact kernel with CHUNKED vals DMA: ``chunk`` blocks per copy and
-    an ``nslots``-deep pipeline (fewer, larger copies; measured ~5% faster
-    at the headline shape with chunk=2). The vals/cols streams must carry
-    ``chunk*nslots`` safety blocks (BellCompactDevice.pad_blocks) because
-    a row's last chunk may overrun into the next row's blocks (fetched but
-    never used)."""
-    j = pl.program_id(0)
-    i = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _():
-        cp = pltpu.make_async_copy(
-            b_hbm.at[:, pl.ds(j * tn, tn)], b_tile, bsem
-        )
-        cp.start()
-        cp.wait()
-
-    start = row_ptr_ref[i]
-    nb = row_ptr_ref[i + 1] - start
-    nchunks = (nb + chunk - 1) // chunk
-
-    def vdma(c, slot):
-        return pltpu.make_async_copy(
-            vals_hbm.at[pl.ds(start + c * chunk, chunk)],
-            vbuf.at[slot],
-            vsems.at[slot],
-        )
-
-    for s in range(nslots - 1):  # prime the pipeline
-        @pl.when(s < nchunks)
-        def _(s=s):
-            vdma(s, s).start()
-
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    def body(c, _):
-        slot = jax.lax.rem(c, nslots)
-
-        @pl.when(c + (nslots - 1) < nchunks)
-        def _():
-            vdma(c + (nslots - 1),
-                 jax.lax.rem(c + (nslots - 1), nslots)).start()
-
-        vdma(c, slot).wait()
-        for k in range(chunk):  # static unroll over the chunk
-            t = c * chunk + k
-
-            @pl.when(t < nb)
-            def _(t=t, k=k):
-                jb = cols_ref[start + t]
-                acc_ref[...] += jax.lax.dot(
-                    vbuf[slot, k],
-                    b_tile[pl.ds(jb * bw, bw), :],
-                    preferred_element_type=jnp.float32,
-                )
-        return 0
-
-    jax.lax.fori_loop(0, nchunks, body, 0)
-    out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+    _check_tile(B.shape[1], tn)
+    _check_rows(bell.n_block_rows, rows_per_step)
+    return _resident_call(
+        bell, B, tn=tn, chunk=1, nslots=2, rows=rows_per_step, guarded=True,
+        out_dtype=out_dtype or B.dtype,
+        interpret=interpret or jax.default_backend() == "cpu",
+    )
 
 
 @functools.partial(
@@ -481,13 +410,12 @@ def bell_spmm_pallas_compact_chunked(
     out_dtype=None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Compact kernel, chunked vals DMA. ``bell`` must carry at least
-    ``chunk * nslots`` safety padding blocks (see pad_blocks)."""
-    total, bh, bw = bell.vals_flat.shape
-    nbr = bell.n_block_rows
-    K, N = B.shape
-    if N % tn:
-        raise ValueError(f"N={N} not a multiple of tile {tn}")
+    """Compact kernel with CHUNKED vals DMA: ``chunk`` blocks per copy and
+    an ``nslots``-deep pipeline (fewer, larger copies). ``bell`` must carry
+    at least ``chunk * nslots`` safety padding blocks (see pad_blocks):
+    a row's last chunk DMA may overrun into the next row's blocks (fetched
+    but never used)."""
+    _check_tile(B.shape[1], tn)
     if bell.pad_count < chunk * nslots:
         raise ValueError(
             f"chunked kernel needs {chunk * nslots} safety padding blocks "
@@ -495,146 +423,11 @@ def bell_spmm_pallas_compact_chunked(
             f"BellCompactDevice.pad_blocks({chunk * nslots}) — the last "
             f"row's chunk DMA may overrun the flat vals/cols streams"
         )
-    out_dtype = out_dtype or B.dtype
-    interpret = interpret or jax.default_backend() == "cpu"
-
-    kernel = functools.partial(
-        _kernel_chunked, bw=bw, tn=tn, chunk=chunk, nslots=nslots
+    return _resident_call(
+        bell, B, tn=tn, chunk=chunk, nslots=nslots, rows=1, guarded=True,
+        out_dtype=out_dtype or B.dtype,
+        interpret=interpret or jax.default_backend() == "cpu",
     )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(N // tn, nbr),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(
-                (bh, tn), lambda j, i, *_: (i, j), memory_space=pltpu.VMEM
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((K, tn), B.dtype),
-                pltpu.VMEM((nslots, chunk, bh, bw), bell.vals_flat.dtype),
-                pltpu.VMEM((bh, tn), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA((nslots,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * total * bh * bw * N,
-            bytes_accessed=(
-                K * N * B.dtype.itemsize
-                + (N // tn) * total * bh * bw * bell.vals_flat.dtype.itemsize
-                + nbr * bh * N * jnp.dtype(out_dtype).itemsize
-            ),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(bell.row_ptr, bell.cols_flat, bell.vals_flat, B)
-
-
-def compact_from_host_padded(
-    bell: BELL, chunk: int, dtype=jnp.float32
-) -> BellCompactDevice:
-    """CSR-of-blocks with every row's block count padded UP to a multiple
-    of ``chunk`` with explicit zero blocks (block-col 0, zero values).
-
-    Zero blocks contribute nothing to the product, so the unrolled kernel
-    can run ``chunk`` UNGUARDED dots per loop iteration — on v5e the
-    per-iteration scalar overhead of ``fori_loop`` (~115ns) and a
-    ``pl.when`` guard (~90ns) each cost as much as a 128x128x512 dot
-    (~93ns), so guard-free unrolling is the difference between ~50% and
-    ~85% of peak in the inner loop. Average fill-in is (chunk-1)/2 blocks
-    per block-row."""
-    nb = bell.nb_row.astype(np.int64)
-    nb_pad = (nb + chunk - 1) // chunk * chunk
-    row_ptr = np.concatenate(([0], np.cumsum(nb_pad))).astype(np.int32)
-    cols, vals = _flatten_bell_rows(bell, row_ptr)
-    return BellCompactDevice(
-        row_ptr=jnp.asarray(row_ptr),
-        cols_flat=jnp.asarray(cols),
-        vals_flat=jnp.asarray(vals, dtype=dtype),
-        chunk_multiple=chunk,
-    )
-
-
-def _kernel_unrolled(
-    row_ptr_ref,   # int32 [nbr+1] (SMEM), all counts multiples of chunk
-    cols_ref,      # int32 [total] (SMEM)
-    vals_hbm,      # [total, bh, bw] (HBM)
-    b_hbm,         # [K, N] (HBM)
-    *refs,         # [bias_ref f32 [nbr,1,bh] if has_bias,] out_ref,
-                   # b_tile, vbuf, acc_ref, bsem, vsems
-    bw: int,
-    tn: int,
-    chunk: int,
-    nslots: int,
-    has_bias: bool = False,
-    relu: bool = False,
-):
-    if has_bias:
-        bias_ref, out_ref, b_tile, vbuf, acc_ref, bsem, vsems = refs
-    else:
-        out_ref, b_tile, vbuf, acc_ref, bsem, vsems = refs
-        bias_ref = None
-    j = pl.program_id(0)
-    i = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _():
-        cp = pltpu.make_async_copy(
-            b_hbm.at[:, pl.ds(j * tn, tn)], b_tile, bsem
-        )
-        cp.start()
-        cp.wait()
-
-    start = row_ptr_ref[i]
-    nchunks = (row_ptr_ref[i + 1] - start) // chunk
-
-    def vdma(c, slot):
-        return pltpu.make_async_copy(
-            vals_hbm.at[pl.ds(start + c * chunk, chunk)],
-            vbuf.at[slot],
-            vsems.at[slot],
-        )
-
-    for s in range(nslots - 1):  # prime the pipeline
-        @pl.when(s < nchunks)
-        def _(s=s):
-            vdma(s, s).start()
-
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    def body(c, _):
-        slot = jax.lax.rem(c, nslots)
-
-        @pl.when(c + (nslots - 1) < nchunks)
-        def _():
-            vdma(c + (nslots - 1),
-                 jax.lax.rem(c + (nslots - 1), nslots)).start()
-
-        vdma(c, slot).wait()
-        for k in range(chunk):  # static unroll, NO guards: rows are padded
-            jb = cols_ref[start + c * chunk + k]
-            acc_ref[...] += jax.lax.dot(
-                vbuf[slot, k],
-                b_tile[pl.ds(jb * bw, bw), :],
-                preferred_element_type=jnp.float32,
-            )
-        return 0
-
-    jax.lax.fori_loop(0, nchunks, body, 0)
-    y = acc_ref[...]
-    if has_bias:
-        y = y + bias_ref[0, 0][:, None]
-        if relu:
-            y = jnp.maximum(y, 0.0)
-    out_ref[...] = y.astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -652,58 +445,99 @@ def bell_spmm_pallas_compact_unrolled(
     """Compact kernel, guard-free chunk-unrolled inner loop. ``bell`` must
     come from ``compact_from_host_padded(bell, chunk)`` (every block-row's
     count a multiple of ``chunk``)."""
-    total, bh, bw = bell.vals_flat.shape
-    nbr = bell.n_block_rows
-    K, N = B.shape
-    if N % tn:
-        raise ValueError(f"N={N} not a multiple of tile {tn}")
-    if bell.chunk_multiple % chunk:
-        raise ValueError(
-            f"layout padded to multiples of {bell.chunk_multiple}, kernel "
-            f"chunk={chunk}: build with compact_from_host_padded(bell, "
-            f"{chunk}) — unpadded rows would silently drop trailing blocks"
-        )
-    out_dtype = out_dtype or B.dtype
-    interpret = interpret or jax.default_backend() == "cpu"
-
-    kernel = functools.partial(
-        _kernel_unrolled, bw=bw, tn=tn, chunk=chunk, nslots=nslots
+    _check_tile(B.shape[1], tn)
+    _check_chunk_padding(bell, chunk)
+    return _resident_call(
+        bell, B, tn=tn, chunk=chunk, nslots=nslots, rows=1, guarded=False,
+        out_dtype=out_dtype or B.dtype,
+        interpret=interpret or jax.default_backend() == "cpu",
     )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(N // tn, nbr),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(
-                (bh, tn), lambda j, i, *_: (i, j), memory_space=pltpu.VMEM
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((K, tn), B.dtype),
-                pltpu.VMEM((nslots, chunk, bh, bw), bell.vals_flat.dtype),
-                pltpu.VMEM((bh, tn), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA((nslots,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * total * bh * bw * N,
-            bytes_accessed=(
-                K * N * B.dtype.itemsize
-                + (N // tn) * total * bh * bw * bell.vals_flat.dtype.itemsize
-                + nbr * bh * N * jnp.dtype(out_dtype).itemsize
-            ),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(bell.row_ptr, bell.cols_flat, bell.vals_flat, B)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tn", "chunk", "nslots", "rows_per_step", "out_dtype",
+                     "interpret"),
+)
+def bell_spmm_pallas_compact_unrolled_multirow(
+    bell: BellCompactDevice,
+    B: jax.Array,
+    tn: int = 512,
+    chunk: int = 4,
+    nslots: int = 2,
+    rows_per_step: int = 4,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Guard-free unrolled kernel, ``rows_per_step`` block-rows per grid
+    step.  ``bell`` from ``compact_from_host_padded(bell, chunk)`` with
+    n_block_rows padded to a rows_per_step multiple (``pad_rows``)."""
+    _check_tile(B.shape[1], tn)
+    _check_rows(bell.n_block_rows, rows_per_step)
+    _check_chunk_padding(bell, chunk)
+    return _resident_call(
+        bell, B, tn=tn, chunk=chunk, nslots=nslots, rows=rows_per_step,
+        guarded=False,
+        out_dtype=out_dtype or B.dtype,
+        interpret=interpret or jax.default_backend() == "cpu",
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tn", "chunk", "nslots", "relu", "out_dtype", "interpret"),
+)
+def bell_spmm_pallas_compact_unrolled_epilogue(
+    bell: BellCompactDevice,
+    B: jax.Array,
+    bias: jax.Array,   # f32 [nbr * bh] (padded row space)
+    tn: int = 512,
+    chunk: int = 4,
+    nslots: int = 2,
+    relu: bool = False,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """out = act(A @ B + bias[:, None]) with the epilogue fused into the
+    unrolled kernel's output stage — the bias add and activation cost no
+    extra HBM round trip of the output (XLA cannot fuse into a custom
+    call). ``bell`` from compact_from_host_padded."""
+    _check_tile(B.shape[1], tn)
+    _check_chunk_padding(bell, chunk)
+    nbr = bell.n_block_rows
+    bias2 = bias.astype(jnp.float32).reshape(nbr, 1, bell.block_row_size)
+    return _resident_call(
+        bell, B, tn=tn, chunk=chunk, nslots=nslots, rows=1, guarded=False,
+        out_dtype=out_dtype or B.dtype,
+        interpret=interpret or jax.default_backend() == "cpu",
+        bias=bias2, relu=relu,
+    )
+
+
+# --------------------------------------------------------------------------
+# host-side packing
+# --------------------------------------------------------------------------
+
+def compact_from_host_padded(
+    bell: BELL, chunk: int, dtype=jnp.float32
+) -> BellCompactDevice:
+    """CSR-of-blocks with every row's block count padded UP to a multiple
+    of ``chunk`` with explicit zero blocks (block-col 0, zero values).
+
+    Zero blocks contribute nothing to the product, so the unrolled kernel
+    can run ``chunk`` UNGUARDED dots per loop iteration (see
+    _kernel_resident). Average fill-in is (chunk-1)/2 blocks per
+    block-row."""
+    nb = bell.nb_row.astype(np.int64)
+    nb_pad = (nb + chunk - 1) // chunk * chunk
+    row_ptr = np.concatenate(([0], np.cumsum(nb_pad))).astype(np.int32)
+    cols, vals = _flatten_bell_rows(bell, row_ptr)
+    return BellCompactDevice(
+        row_ptr=jnp.asarray(row_ptr),
+        cols_flat=jnp.asarray(cols),
+        vals_flat=jnp.asarray(vals, dtype=dtype),
+        chunk_multiple=chunk,
+    )
 
 
 def compact_ksplit_from_host(
@@ -725,7 +559,10 @@ def compact_ksplit_from_host(
     k_part = -(-nbc // n_parts)
     nbr = bell.n_block_rows
     bh, bw = bell.block_row_size, bell.block_col_size
-    valid = np.arange(bell.max_nb)[None, :] < bell.nb_row[:, None]
+    max_nb = bell.max_nb
+    valid = np.arange(max_nb)[None, :] < bell.nb_row[:, None]
+    vals2d = bell.vals.reshape((nbr * max_nb,) + bell.vals.shape[2:]) \
+        if max_nb else bell.vals
     parts = []
     for p in range(n_parts):
         lo = p * k_part
@@ -736,14 +573,19 @@ def compact_ksplit_from_host(
         if total == 0:
             parts.append(None)
             continue
+        # compact each row's selected blocks to the front (stable argsort of
+        # ~sel preserves order), flat integer gather on a 2D view of vals —
+        # vectorized over all rows (see _flatten_bell_rows note)
         width = max(int(counts.max()), 1)
-        sub_cols = np.full((nbr, width), -1, dtype=bell.cols_idx.dtype)
-        sub_vals = np.zeros((nbr, width, bh, bw), dtype=bell.vals.dtype)
-        for r in range(nbr):
-            k = np.flatnonzero(sel[r])
-            if k.size:
-                sub_cols[r, : k.size] = bell.cols_idx[r, k] - lo
-                sub_vals[r, : k.size] = bell.vals[r, k]
+        order = np.argsort(~sel, axis=1, kind="stable")[:, :width]
+        in_part = np.arange(width)[None, :] < counts[:, None]
+        sub_cols = np.where(
+            in_part, np.take_along_axis(bell.cols_idx, order, axis=1) - lo, -1
+        ).astype(bell.cols_idx.dtype)
+        flat = np.arange(nbr, dtype=np.int64)[:, None] * max_nb + order
+        sub_vals = vals2d[flat.ravel()].reshape(
+            (nbr, width) + bell.vals.shape[2:]).astype(bell.vals.dtype)
+        sub_vals *= in_part[:, :, None, None].astype(sub_vals.dtype)
         sub = BELL(
             cols_idx=sub_cols, vals=sub_vals,
             nb_row=counts.astype(bell.nb_row.dtype),
@@ -789,155 +631,6 @@ def bell_spmm_pallas_compact_ksplit(
     return out.astype(out_dtype)
 
 
-def _kernel_unrolled_multirow(
-    row_ptr_ref,   # int32 [nbr+1] (SMEM), counts multiples of chunk
-    cols_ref,      # int32 [total] (SMEM)
-    vals_hbm,      # [total, bh, bw] (HBM)
-    b_hbm,         # [K, N] (HBM)
-    out_ref,       # [R*bh, tn] (VMEM)
-    b_tile,        # [K, tn] persistent VMEM scratch
-    vbuf,          # [nslots, chunk, bh, bw] VMEM
-    acc_ref,       # [bh, tn] fp32
-    bsem,
-    vsems,
-    *,
-    bw: int,
-    tn: int,
-    chunk: int,
-    nslots: int,
-    rows: int,
-):
-    """Unrolled compact kernel, ``rows`` block-rows per grid step: amortizes
-    the measured ~312 ns/step pipeline floor (grid machinery + out-tile
-    write scheduling) across R rows — the floor is 25% of the headline
-    kernel's time (docs/DESIGN.md budget table)."""
-    j = pl.program_id(0)
-    i = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _():
-        cp = pltpu.make_async_copy(
-            b_hbm.at[:, pl.ds(j * tn, tn)], b_tile, bsem
-        )
-        cp.start()
-        cp.wait()
-
-    for r in range(rows):  # static unroll over the row group
-        start = row_ptr_ref[i * rows + r]
-        nchunks = (row_ptr_ref[i * rows + r + 1] - start) // chunk
-
-        def vdma(c, slot, start=start):
-            return pltpu.make_async_copy(
-                vals_hbm.at[pl.ds(start + c * chunk, chunk)],
-                vbuf.at[slot],
-                vsems.at[slot],
-            )
-
-        for s in range(nslots - 1):
-            @pl.when(s < nchunks)
-            def _(s=s, vdma=vdma):
-                vdma(s, s).start()
-
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-        def body(c, _, vdma=vdma, nchunks=nchunks, start=start):
-            slot = jax.lax.rem(c, nslots)
-
-            @pl.when(c + (nslots - 1) < nchunks)
-            def _():
-                vdma(c + (nslots - 1),
-                     jax.lax.rem(c + (nslots - 1), nslots)).start()
-
-            vdma(c, slot).wait()
-            for k in range(chunk):
-                jb = cols_ref[start + c * chunk + k]
-                acc_ref[...] += jax.lax.dot(
-                    vbuf[slot, k],
-                    b_tile[pl.ds(jb * bw, bw), :],
-                    preferred_element_type=jnp.float32,
-                )
-            return 0
-
-        jax.lax.fori_loop(0, nchunks, body, 0)
-        bh = acc_ref.shape[0]
-        out_ref[r * bh:(r + 1) * bh, :] = acc_ref[...].astype(out_ref.dtype)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("tn", "chunk", "nslots", "rows_per_step", "out_dtype",
-                     "interpret"),
-)
-def bell_spmm_pallas_compact_unrolled_multirow(
-    bell: BellCompactDevice,
-    B: jax.Array,
-    tn: int = 512,
-    chunk: int = 4,
-    nslots: int = 2,
-    rows_per_step: int = 4,
-    out_dtype=None,
-    interpret: bool = False,
-) -> jax.Array:
-    """Guard-free unrolled kernel, ``rows_per_step`` block-rows per grid
-    step.  ``bell`` from ``compact_from_host_padded(bell, chunk)`` with
-    n_block_rows padded to a rows_per_step multiple (``pad_rows``)."""
-    total, bh, bw = bell.vals_flat.shape
-    nbr = bell.n_block_rows
-    K, N = B.shape
-    R = rows_per_step
-    if N % tn:
-        raise ValueError(f"N={N} not a multiple of tile {tn}")
-    if nbr % R:
-        raise ValueError(f"n_block_rows={nbr} not a multiple of {R}")
-    if bell.chunk_multiple % chunk:
-        raise ValueError(
-            f"layout padded to multiples of {bell.chunk_multiple}, kernel "
-            f"chunk={chunk}"
-        )
-    out_dtype = out_dtype or B.dtype
-    interpret = interpret or jax.default_backend() == "cpu"
-
-    kernel = functools.partial(
-        _kernel_unrolled_multirow, bw=bw, tn=tn, chunk=chunk, nslots=nslots,
-        rows=R,
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(N // tn, nbr // R),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=pl.BlockSpec(
-                (R * bh, tn), lambda j, i, *_: (i, j), memory_space=pltpu.VMEM
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((K, tn), B.dtype),
-                pltpu.VMEM((nslots, chunk, bh, bw), bell.vals_flat.dtype),
-                pltpu.VMEM((bh, tn), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA((nslots,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * total * bh * bw * N,
-            bytes_accessed=(
-                K * N * B.dtype.itemsize
-                + (N // tn) * total * bh * bw * bell.vals_flat.dtype.itemsize
-                + nbr * bh * N * jnp.dtype(out_dtype).itemsize
-            ),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(bell.row_ptr, bell.cols_flat, bell.vals_flat, B)
-
-
 def compact_auto_chunk(nb_row) -> int:
     """Default unroll chunk for compact_from_host_padded: ~80% of the mean
     blocks-per-row balances loop-overhead amortization against zero-block
@@ -945,6 +638,10 @@ def compact_auto_chunk(nb_row) -> int:
     mean = max(float(np.mean(np.asarray(nb_row))), 1.0)
     return int(np.clip(round(mean * 0.8), 2, 8))
 
+
+# --------------------------------------------------------------------------
+# HBM-gathered-B kernel (the large-matrix layout)
+# --------------------------------------------------------------------------
 
 def _kernel_gather(
     row_ptr_ref,   # int32 [nbr+1] (SMEM)
@@ -1033,8 +730,7 @@ def bell_spmm_pallas_compact_gather(
     total, bh, bw = bell.vals_flat.shape
     nbr = bell.n_block_rows
     K, N = B.shape
-    if N % tn:
-        raise ValueError(f"N={N} not a multiple of tile {tn}")
+    _check_tile(N, tn)
     out_dtype = out_dtype or B.dtype
     interpret = interpret or jax.default_backend() == "cpu"
 
@@ -1063,90 +759,6 @@ def bell_spmm_pallas_compact_gather(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * total * bh * bw * N,
-            bytes_accessed=(
-                (N // tn) * total * (bh * bw + bw * tn)
-                * bell.vals_flat.dtype.itemsize
-                + nbr * bh * N * jnp.dtype(out_dtype).itemsize
-            ),
-            transcendentals=0,
-        ),
+        cost_estimate=_cost_estimate(bell, B, tn, out_dtype, resident_b=False),
         interpret=interpret,
     )(bell.row_ptr, bell.cols_flat, bell.vals_flat, B)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("tn", "chunk", "nslots", "relu", "out_dtype", "interpret"),
-)
-def bell_spmm_pallas_compact_unrolled_epilogue(
-    bell: BellCompactDevice,
-    B: jax.Array,
-    bias: jax.Array,   # f32 [nbr * bh] (padded row space)
-    tn: int = 512,
-    chunk: int = 4,
-    nslots: int = 2,
-    relu: bool = False,
-    out_dtype=None,
-    interpret: bool = False,
-) -> jax.Array:
-    """out = act(A @ B + bias[:, None]) with the epilogue fused into the
-    (unified) unrolled kernel's output stage — the bias add and activation
-    cost no extra HBM round trip of the output (XLA cannot fuse into a
-    custom call). ``bell`` from compact_from_host_padded."""
-    total, bh, bw = bell.vals_flat.shape
-    nbr = bell.n_block_rows
-    K, N = B.shape
-    if N % tn:
-        raise ValueError(f"N={N} not a multiple of tile {tn}")
-    if bell.chunk_multiple % chunk:
-        raise ValueError(
-            f"layout padded to multiples of {bell.chunk_multiple}, kernel "
-            f"chunk={chunk}"
-        )
-    out_dtype = out_dtype or B.dtype
-    interpret = interpret or jax.default_backend() == "cpu"
-    bias2 = bias.astype(jnp.float32).reshape(nbr, 1, bh)
-
-    kernel = functools.partial(
-        _kernel_unrolled, bw=bw, tn=tn, chunk=chunk, nslots=nslots,
-        has_bias=True, relu=relu,
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(N // tn, nbr),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, 1, bh), lambda j, i, *_: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (bh, tn), lambda j, i, *_: (i, j), memory_space=pltpu.VMEM
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((K, tn), B.dtype),
-                pltpu.VMEM((nslots, chunk, bh, bw), bell.vals_flat.dtype),
-                pltpu.VMEM((bh, tn), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA((nslots,)),
-            ],
-        ),
-        out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * total * bh * bw * N,
-            bytes_accessed=(
-                K * N * B.dtype.itemsize
-                + (N // tn) * total * bh * bw * bell.vals_flat.dtype.itemsize
-                + nbr * bh * N * jnp.dtype(out_dtype).itemsize
-            ),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(bell.row_ptr, bell.cols_flat, bell.vals_flat, B, bias2)
