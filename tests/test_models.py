@@ -373,3 +373,77 @@ def test_minibatch_no_retrace_across_resamples():
         lab, msk = seed_labels(model, labels, mask, batch)
         params, st, _ = step(params, st, Xb, batch, lab, msk)
     assert step._cache_size() == 1, step._cache_size()
+
+
+# ------------------------------------------------ train-to-quality ----
+def test_gcn_trains_to_quality_and_sharded_checkpoint(tmp_path):
+    """The custom-VJP pipeline must OPTIMIZE, not merely differentiate:
+    train a 2-layer GCN 250 steps on a planted-community (stochastic block
+    model) node-classification task and require >90% held-out accuracy,
+    then round-trip the trained params through a sharded Orbax checkpoint
+    and serve them through the mesh-sharded forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sparta_tpu.formats.csr import CSR
+    from sparta_tpu.models import (
+        GCN, GCNConfig, make_gcn_train_step, make_sharded_gcn_apply,
+    )
+    from sparta_tpu.models.checkpoint import (
+        load_params_orbax, save_params_orbax,
+    )
+    from sparta_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    k, per = 4, 64
+    n = k * per
+    comm = np.repeat(np.arange(k), per)
+    p_in, p_out = 0.20, 0.01
+    U = rng.random((n, n))
+    P_edge = np.where(comm[:, None] == comm[None, :], p_in, p_out)
+    A = np.triu(U < P_edge, 1)
+    A = A | A.T
+    r, c = np.nonzero(A)
+    adj = CSR.from_coo(r, c, np.ones(r.size, np.float32), (n, n))
+
+    F = 16
+    proto = rng.standard_normal((k, F))
+    X = jnp.asarray((proto[comm] * 0.3
+                     + rng.standard_normal((n, F))).astype(np.float32))
+    labels = jnp.asarray(comm)
+    train_mask = np.zeros(n, np.float32)
+    train_mask[rng.permutation(n)[: n // 2]] = 1
+
+    cfg = GCNConfig(in_dim=F, hidden_dim=32, out_dim=k, n_layers=2,
+                    block=16, tau=0.4)
+    model = GCN.create(adj, cfg)
+    params = model.init(jax.random.key(1))
+    opt = optax.adam(1e-2)
+    step = make_gcn_train_step(model, opt)
+    opt_state = opt.init(params)
+    mj = jnp.asarray(train_mask)
+    first = None
+    for _ in range(250):
+        params, opt_state, loss = step(params, opt_state, X, labels, mj)
+        first = float(loss) if first is None else first
+    assert float(loss) < first / 10, (first, float(loss))
+
+    logits = np.asarray(model.apply(params, X))
+    test = train_mask == 0
+    acc = (logits.argmax(1)[test] == comm[test]).mean()
+    assert acc > 0.9, f"held-out accuracy {acc:.3f}"
+
+    # sharded checkpoint round-trip: place params on an 8-device mesh
+    # (replicated — GCN dense weights are small), save, restore INTO the
+    # sharded structure, and serve through the mesh-sharded forward
+    mesh = make_mesh(8)
+    repl = NamedSharding(mesh, P())
+    sharded_params = jax.device_put(params, repl)
+    save_params_orbax(tmp_path / "gcn_ckpt", sharded_params)
+    restored = load_params_orbax(tmp_path / "gcn_ckpt", sharded_params)
+    for a, b in zip(jax.tree.leaves(sharded_params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert b.sharding.is_equivalent_to(repl, np.asarray(b).ndim)
+
+    sharded_apply = make_sharded_gcn_apply(model, mesh)
+    y_sharded = np.asarray(sharded_apply(restored, X))
+    np.testing.assert_allclose(y_sharded, logits, rtol=2e-3, atol=2e-3)
