@@ -56,6 +56,13 @@ def main():
     for nd in [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]:
         mesh = make_mesh(nd)
         dev = shard_bell_rowwise(bell, mesh)
+        # per-shard nonzero-block counts: the load-balance diagnostic a
+        # single-shard dryrun cannot give (correctness-grade, not a perf claim)
+        import numpy as _np
+        nbr_pad = -(-bell.n_block_rows // nd) * nd
+        nb_pad = _np.zeros(nbr_pad, dtype=_np.int64)
+        nb_pad[: bell.n_block_rows] = bell.nb_row
+        row_shard_blocks = nb_pad.reshape(nd, -1).sum(axis=1).tolist()
         Bnp = pad_b_for_bell(
             np.random.default_rng(0).standard_normal(
                 (bell.shape[1], N)).astype(np.float32), bell)
@@ -66,7 +73,8 @@ def main():
             lambda b: spmm_rowsharded(dev, b, mesh=mesh), Brep,
             reps=3, target_time=0.15)
         rows.append({"devices": nd, "layout": "row_sharded", "ms": avg * 1e3,
-                     "nnz_per_s": m.nnz / avg})
+                     "nnz_per_s": m.nnz / avg,
+                     "shard_blocks": row_shard_blocks})
         print(rows[-1], file=sys.stderr)
 
         # ring: B column-sharded, ppermute rotation (needs N % nd == 0)
@@ -77,7 +85,8 @@ def main():
                 lambda b: spmm_ring(dev, b, mesh), Bcol,
                 reps=3, target_time=0.15)
             rows.append({"devices": nd, "layout": "ring", "ms": avg * 1e3,
-                         "nnz_per_s": m.nnz / avg})
+                         "nnz_per_s": m.nnz / avg,
+                         "shard_blocks": row_shard_blocks})
             print(rows[-1], file=sys.stderr)
 
         # colsplit + reduce_scatter: K sharded
@@ -98,7 +107,8 @@ def main():
             lambda b: spmm_colsplit_reduce_scatter(ci_d, nb_d, v_d, b, mesh),
             Bparts, reps=3, target_time=0.15)
         rows.append({"devices": nd, "layout": "colsplit_rs", "ms": avg * 1e3,
-                     "nnz_per_s": m.nnz / avg})
+                     "nnz_per_s": m.nnz / avg,
+                     "shard_blocks": nb.sum(axis=1).astype(int).tolist()})
         print(rows[-1], file=sys.stderr)
 
     base = {}
