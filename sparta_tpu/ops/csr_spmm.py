@@ -102,7 +102,6 @@ dense_matmul = jax.jit(dense_matmul, static_argnames=("accum_dtype",))
 from .select import _DENSE_TPS  # noqa: E402
 
 _NATBELL_TPS = 140e12
-_BCOO_TPS = 0.05e12
 # densification feasibility: don't materialize a dense A beyond this
 # (v5e HBM is 16 GB; leave room for B/C and the host copy)
 DENSIFY_BYTES_CAP = 4 << 30
@@ -122,12 +121,17 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
     - densify + dense GEMM              (density high: padded flops cheap)
     - natural 128-blocking, empty blocks dropped, compact Pallas kernel
       (block-local density high but many empty 128-blocks)
-    - BCOO scatter                      (extreme sparsity: real flops win)
+    - fine slab-gather + mask-combine   (low fill / power-law: real work
+      at the measured gather ceiling, ops/fine.py)
+
+    The raw BCOO scatter (0.05 TF/s measured) is dominated by the fine
+    path at every density and is reachable only via ``--csr-impl bcoo``.
 
     Returns ``(fn, backend_name, flops)`` with ``fn(B) -> C`` and ``flops``
     the actual per-call FLOP count of the chosen execution.
     """
     from ..formats.bell import bell_from_csr
+    from .fine import FineDevice, fine_model_s, fine_spmm
     from .select import plan_spmm
 
     M, K = cmat.shape
@@ -144,12 +148,18 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
     if M * K * jnp.dtype(dtype).itemsize > DENSIFY_BYTES_CAP:
         t_dense = float("inf")  # densified A would not fit device memory
     t_natbell = 2 * nzb * 128 * 128 * Np / _NATBELL_TPS
-    t_bcoo = 2 * cmat.nnz * N / _BCOO_TPS
+    t_fine = fine_model_s(cmat.nnz, M, Np,
+                          itemsize=jnp.dtype(dtype).itemsize)
 
-    best = min(t_dense, t_natbell, t_bcoo)
-    if best == t_bcoo:
-        A = csr_to_bcoo(cmat, dtype=dtype)
-        return (lambda B: bcoo_spmm(A, B)), "csr_auto_bcoo", 2 * cmat.nnz * N
+    best = min(t_dense, t_natbell, t_fine)
+    if best == t_fine:
+        fdev = FineDevice.from_csr(cmat, dtype=dtype)
+        if N == Np:
+            fn = lambda B: fine_spmm(fdev, B)  # noqa: E731
+        else:
+            fn = lambda B: fine_spmm(  # noqa: E731
+                fdev, jnp.pad(B, ((0, 0), (0, Np - N))))[:, :N]
+        return fn, "csr_auto_fine", 2 * cmat.nnz * Np
     if best == t_dense:
         A = jnp.asarray(cmat.to_dense(), dtype=dtype)
         return (lambda B: dense_matmul(A, B)), "csr_auto_dense", 2 * M * K * N

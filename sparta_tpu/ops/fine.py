@@ -1,0 +1,372 @@
+"""Fine-grained (non-blocked) sparse SpMM for matrices too sparse to block.
+
+The TPU-native answer to the reference's cuSPARSE CSR SpMM *kernel*
+(cusparse_gemm_custom, /root/reference/src/cuda/cuda_utilities.cpp:1251-1431)
+for power-law graphs and other low-fill patterns where 128x128 blocking pads
+100-1000x and the BCOO scatter path runs 3 orders of magnitude off roofline.
+
+Measured v5e primitive ceilings (scripts/gather_probe.py, fine_probe.py)
+that shape both designs here:
+
+  - XLA row gather B[idx] peaks at ~223 GB/s for rows <= 1 KB (bf16 N=512)
+    and CLIFFS to ~96 GB/s at 2 KB rows and ~83 at 4 KB -> gather in
+    512-column slabs, never whole-N;
+  - int8 gathers ~1.9x more elements/s at the same row bytes (188 GB/s at
+    N=1024) -> a quantized variant halves gather time;
+  - XLA scatter-add / segment_sum runs at ~51 GB/s -> never combine with a
+    scatter; per-row DMA and VPU dynamic_gather are not viable on this
+    toolchain (per-copy scalar cost ~ 1 KB of bandwidth; Mosaic rejects
+    non-square gathers).
+
+Two strategies:
+
+1. ``FineDevice`` + ``fine_spmm`` — the production path. Nonzeros stay in
+   CSR order, laid out so each ``tile_rows`` output tile owns a contiguous
+   128-aligned slot range (``tile_aligned_layout``).  Per 512-column slab:
+   one fused XLA gather+scale produces slot contributions, then a Pallas
+   MASK-MATMUL COMBINE reduces them: contributions stream sequentially
+   through VMEM in ``chunk``-slot blocks and a one-hot [R, C] mask built
+   on the fly from the slot-row ids reduces each block onto the output
+   tile with a single MXU matmul — no gather, no scatter, no per-element
+   scalar work anywhere in the combine.
+
+2. ``FellDevice`` + ``fell_spmm`` — pure-XLA fallback (no Pallas): rows are
+   split into width-W virtual rows (row splitting for power-law hubs), the
+   product is W fused full-row gathers summed, and virtual rows combine
+   with one sorted ``segment_sum`` over nnz/W rows.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats.csr import CSR
+
+# measured v5e rates (results/gather_probe.json, fine_probe.json)
+GATHER_BPS = 223e9        # bf16 rows <= 1KB, S <= ~300k
+GATHER_BPS_LARGE = 90e9   # large-S degradation (S ~ 1M measured 65-96)
+COMBINE_BPS = 400e9       # mask-combine streaming estimate (calibrated)
+SEGSUM_BPS = 51e9
+WIDTHS = (4, 8, 16, 32, 64)
+
+
+# ---------------------------------------------------------------------------
+# shared layout helpers
+# ---------------------------------------------------------------------------
+
+def tile_aligned_layout(row_ptr: np.ndarray, tile_rows: int,
+                        align: int = 128, chunk: int = 2048):
+    """Slot layout for the mask-matmul combine: each ``tile_rows``-row output
+    tile's nonzeros occupy a contiguous region whose start is ``align``-
+    aligned (Mosaic requires provably tile-divisible dynamic DMA offsets),
+    padded with dead slots, plus ``chunk`` trailing safety slots for DMA
+    overrun.
+
+    Returns (tptr[ntiles+1] aligned region starts, new_pos[nnz] destination
+    of each CSR-ordered nonzero, total_slots).
+    """
+    n_rows = row_ptr.shape[0] - 1
+    ntiles = max(-(-n_rows // tile_rows), 1)
+    tstarts = row_ptr[0: n_rows: tile_rows].astype(np.int64)
+    tends = np.append(tstarts[1:], row_ptr[-1])
+    n_t = tends - tstarts
+    asz = (n_t + align - 1) // align * align
+    astart = np.zeros(ntiles + 1, dtype=np.int64)
+    np.cumsum(asz, out=astart[1:])
+    new_pos = np.repeat(astart[:-1] - tstarts, n_t) + np.arange(
+        int(row_ptr[-1]), dtype=np.int64)
+    total = int(astart[-1]) + chunk
+    return astart.astype(np.int32), new_pos, total
+
+
+def _pick_slab(N: int) -> int:
+    """Largest slab width <= 512 dividing N (the measured gather sweet spot
+    is 1 KB rows = 512 bf16 lanes)."""
+    for nt in (512, 256, 128):
+        if N % nt == 0:
+            return nt
+    raise ValueError(f"N={N} must be a multiple of 128")
+
+
+# ---------------------------------------------------------------------------
+# mask-matmul combine (Pallas)
+# ---------------------------------------------------------------------------
+
+def _combine_kernel(tptr_ref, rows_hbm, contrib_hbm, out_ref,
+                    cbuf, rbuf, acc_ref, sems, *, R, C, nt):
+    """Reduce CSR-ordered slot contributions onto one R-row output tile.
+
+    Slots stream sequentially (the layout guarantees this tile's slots are
+    contiguous and 128-aligned); each C-slot block is reduced with ONE MXU
+    matmul against a one-hot mask built from the slot-row ids. Overrunning
+    reads hit the next tile's slots or dead padding — their row ids fall
+    outside [t*R, (t+1)*R) so the mask zeroes them."""
+    t = pl.program_id(0)
+    start = tptr_ref[t]
+    n = tptr_ref[t + 1] - start
+    nch = (n + C - 1) // C
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    base = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) + t * R
+
+    def body(c, _):
+        off = start + c * C
+        cp = pltpu.make_async_copy(
+            contrib_hbm.at[pl.ds(off, C)], cbuf, sems.at[0])
+        rp = pltpu.make_async_copy(
+            rows_hbm.at[:, pl.ds(off, C)], rbuf, sems.at[1])
+        cp.start()
+        rp.start()
+        cp.wait()
+        rp.wait()
+        mask = (rbuf[...] == base).astype(cbuf.dtype)
+        acc_ref[...] += jax.lax.dot(
+            mask, cbuf[...], preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, nch, body, 0)
+    out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("M", "R", "C", "interpret"))
+def mask_combine(tptr, rows2d, contribs, M, R=256, C=2048,
+                 interpret=False):
+    """[Spad, nt] CSR-ordered contributions -> [M, nt] row sums.
+
+    ``tptr``/``rows2d`` from ``tile_aligned_layout`` (row ids -1 on dead
+    slots); M must be a multiple of R."""
+    nt = contribs.shape[1]
+    ntiles = M // R
+    kern = functools.partial(_combine_kernel, R=R, C=C, nt=nt)
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ntiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((R, nt), lambda t, *_: (t, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((C, nt), contribs.dtype),
+                pltpu.VMEM((1, C), jnp.int32),
+                pltpu.VMEM((R, nt), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, nt), contribs.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ntiles * R * C * nt,
+            bytes_accessed=contribs.shape[0] * nt
+            * contribs.dtype.itemsize + M * nt * contribs.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret or jax.default_backend() == "cpu",
+    )(tptr, rows2d, contribs)
+
+
+# ---------------------------------------------------------------------------
+# FineDevice: slab gather + mask combine (production path)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class FineDevice:
+    """CSR-ordered nonzeros in the tile-aligned slot layout."""
+
+    cols: jax.Array      # int32 [Spad] (0 on dead slots)
+    vals: jax.Array      # [Spad] (0 on dead slots)
+    rows2d: jax.Array    # int32 [1, Spad] (-1 on dead slots)
+    tptr: jax.Array      # int32 [ntiles+1]
+    rows: int            # true output row count (static)
+    tile_rows: int = 256  # static
+    chunk: int = 2048     # static
+
+    def tree_flatten(self):
+        return ((self.cols, self.vals, self.rows2d, self.tptr),
+                (self.rows, self.tile_rows, self.chunk))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, rows=aux[0], tile_rows=aux[1], chunk=aux[2])
+
+    @property
+    def n_slots(self) -> int:
+        return self.cols.shape[0]
+
+    @property
+    def padded_rows(self) -> int:
+        return (self.tptr.shape[0] - 1) * self.tile_rows
+
+    @classmethod
+    def from_csr(cls, cmat: CSR, dtype=jnp.bfloat16, tile_rows: int = 256,
+                 chunk: int = 2048) -> "FineDevice":
+        rp = np.zeros(cmat.rows + 1, dtype=np.int64)
+        np.cumsum(cmat.row_nnz, out=rp[1:])
+        tptr, new_pos, total = tile_aligned_layout(rp, tile_rows, chunk=chunk)
+        cols = np.zeros(total, dtype=np.int32)
+        vals = np.zeros(total, dtype=np.float32)
+        rows = np.full(total, -1, dtype=np.int32)
+        cols[new_pos] = cmat.indices
+        vals[new_pos] = cmat.values()
+        rows[new_pos] = np.repeat(
+            np.arange(cmat.rows, dtype=np.int32), cmat.row_nnz)
+        return cls(
+            cols=jnp.asarray(cols),
+            vals=jnp.asarray(vals, dtype=dtype),
+            rows2d=jnp.asarray(rows[None, :]),
+            tptr=jnp.asarray(tptr),
+            rows=cmat.rows,
+            tile_rows=tile_rows,
+            chunk=chunk,
+        )
+
+
+@jax.jit
+def _fine_spmm(dev: FineDevice, B: jax.Array) -> jax.Array:
+    nt = _pick_slab(B.shape[1])
+    Mpad = dev.padded_rows
+    outs = []
+    for s in range(B.shape[1] // nt):
+        bs = jax.lax.slice_in_dim(B, s * nt, (s + 1) * nt, axis=1)
+        # fused gather+scale: the only random access, at the slab sweet spot
+        contrib = dev.vals[:, None] * bs[dev.cols].astype(dev.vals.dtype)
+        outs.append(mask_combine(dev.tptr, dev.rows2d, contrib, Mpad,
+                                 R=dev.tile_rows, C=dev.chunk))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return out[: dev.rows].astype(B.dtype)
+
+
+def fine_spmm(dev: FineDevice, B: jax.Array) -> jax.Array:
+    """C = A @ B for a FineDevice-packed A.  B [K, N] (N a multiple of
+    128); returns [rows, N]."""
+    return _fine_spmm(dev, B)
+
+
+def fine_model_s(nnz: int, n_rows: int, N: int, tile_rows: int = 256,
+                 chunk: int = 2048, itemsize: int = 2) -> float:
+    """Modeled seconds per call (used by csr_spmm_auto's selector)."""
+    ntiles = -(-n_rows // tile_rows)
+    slots = nnz + ntiles * 64  # alignment padding, ~align/2 per tile
+    gbps = GATHER_BPS if slots <= 300_000 else GATHER_BPS_LARGE
+    gather = slots * N * itemsize / gbps
+    combine = slots * N * itemsize / COMBINE_BPS \
+        + ntiles * max(-(-(nnz // max(ntiles, 1)) // chunk), 1) * 3e-6
+    return gather + combine
+
+
+# ---------------------------------------------------------------------------
+# FellDevice: width-W virtual-row ELL (pure-XLA fallback)
+# ---------------------------------------------------------------------------
+
+def fell_slots(row_nnz: np.ndarray, w: int) -> tuple[int, int]:
+    """(n_virt, padded_slots) after splitting rows into width-``w`` pieces.
+    Empty rows produce no virtual rows."""
+    nseg = -(-row_nnz.astype(np.int64) // w)
+    n_virt = int(nseg.sum())
+    return n_virt, n_virt * w
+
+
+def choose_width(row_nnz: np.ndarray, n_cols: int,
+                 itemsize: int = 2) -> int:
+    """Pick W minimizing modeled gather + combine time."""
+    best, best_w = float("inf"), WIDTHS[0]
+    for w in WIDTHS:
+        n_virt, slots = fell_slots(row_nnz, w)
+        t = slots * n_cols * itemsize / GATHER_BPS \
+            + n_virt * n_cols * 8 / SEGSUM_BPS
+        if t < best:
+            best, best_w = t, w
+    return best_w
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class FellDevice:
+    """Virtual-row ELL device arrays.
+
+    cols/vals are [n_virt, W] (0-padded); vr_rows [n_virt] is each virtual
+    row's owner row, non-decreasing (CSR order)."""
+
+    cols: jax.Array      # int32 [n_virt, W]
+    vals: jax.Array      # [n_virt, W]
+    vr_rows: jax.Array   # int32 [n_virt]
+    rows: int            # static: output row count
+
+    def tree_flatten(self):
+        return (self.cols, self.vals, self.vr_rows), self.rows
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, rows=aux)
+
+    @property
+    def width(self) -> int:
+        return self.cols.shape[1]
+
+    @classmethod
+    def from_csr(cls, cmat: CSR, width: int | None = None,
+                 dtype=jnp.float32) -> "FellDevice":
+        """Vectorized build — no per-row python loops."""
+        L = cmat.row_nnz.astype(np.int64)
+        w = width or choose_width(L, cmat.cols, jnp.dtype(dtype).itemsize)
+        nseg = -(-L // w)
+        n_virt = max(int(nseg.sum()), 1)
+        cols = np.zeros((n_virt, w), dtype=np.int32)
+        vals = np.zeros((n_virt, w), dtype=np.float32)
+        # destination slot of each nonzero: rows occupy contiguous virtual
+        # rows, nonzeros fill them in CSR order
+        seg_start = np.zeros(cmat.rows + 1, dtype=np.int64)
+        np.cumsum(nseg, out=seg_start[1:])
+        off_in_row = np.arange(cmat.nnz, dtype=np.int64) - np.repeat(
+            cmat.indptr[:-1].astype(np.int64), L)
+        dest = np.repeat(seg_start[:-1] * w, L) + off_in_row
+        cols.reshape(-1)[dest] = cmat.indices
+        vals.reshape(-1)[dest] = cmat.values()
+        vr_rows = np.zeros(n_virt, dtype=np.int32)
+        if int(nseg.sum()):
+            vr_rows = np.repeat(
+                np.arange(cmat.rows, dtype=np.int32), nseg)
+        return cls(jnp.asarray(cols), jnp.asarray(vals, dtype=dtype),
+                   jnp.asarray(vr_rows), cmat.rows)
+
+
+@functools.partial(jax.jit, static_argnames=("rows",))
+def _fell_spmm(cols, vals, vr_rows, rows, B):
+    w = cols.shape[1]
+    nt = _pick_slab(B.shape[1]) if B.shape[1] % 128 == 0 else B.shape[1]
+    outs = []
+    for s in range(max(B.shape[1] // nt, 1)):
+        bs = jax.lax.slice_in_dim(B, s * nt, (s + 1) * nt, axis=1) \
+            if B.shape[1] % 128 == 0 else B
+        # W fused gather-multiply-adds: each step gathers full slab rows —
+        # XLA fuses into one loop, no [n_virt, W, nt] intermediate
+        acc = vals[:, 0:1] * bs[cols[:, 0]].astype(vals.dtype)
+        for i in range(1, w):
+            acc += vals[:, i: i + 1] * bs[cols[:, i]].astype(vals.dtype)
+        # sorted segment-sum: n_virt ~= nnz/W rows — W x cheaper than the
+        # per-nonzero scatter that sinks the BCOO path
+        outs.append(jax.ops.segment_sum(
+            acc, vr_rows, num_segments=rows, indices_are_sorted=True))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return out.astype(B.dtype)
+
+
+def fell_spmm(dev: FellDevice, B: jax.Array) -> jax.Array:
+    """C = A @ B for a FELL-packed A. B is [K, N]; returns [rows, N]."""
+    return _fell_spmm(dev.cols, dev.vals, dev.vr_rows, dev.rows, B)
+
+
+def fell_model_s(row_nnz: np.ndarray, w: int, n_cols: int,
+                 itemsize: int = 2) -> float:
+    """Modeled seconds per call (shared with csr_spmm_auto's selector)."""
+    n_virt, slots = fell_slots(row_nnz, w)
+    return slots * n_cols * itemsize / GATHER_BPS \
+        + n_virt * n_cols * 8 / SEGSUM_BPS

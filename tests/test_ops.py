@@ -366,19 +366,24 @@ def test_csr_spmm_auto_regimes():
     # the auto baseline must be numerically correct whichever execution the
     # cost model picks; force each regime by patching the model constants
     import sparta_tpu.ops.csr_spmm as mod
+    import sparta_tpu.ops.fine as fmod
     from sparta_tpu.formats import random_uniform_csr
 
     m = random_uniform_csr(64, 80, density=0.05, seed=5)
     B = np.random.default_rng(1).standard_normal((80, 128)).astype(np.float32)
     ref = m.to_dense() @ B
-    orig = (mod._DENSE_TPS, mod._NATBELL_TPS, mod._BCOO_TPS)
+    orig = (mod._DENSE_TPS, mod._NATBELL_TPS,
+            fmod.GATHER_BPS, fmod.GATHER_BPS_LARGE, fmod.COMBINE_BPS)
     try:
-        for fast in ("dense", "natbell", "bcoo"):
-            mod._DENSE_TPS, mod._NATBELL_TPS, mod._BCOO_TPS = (
-                (1e15, 1.0, 1.0) if fast == "dense"
-                else (1.0, 1e15, 1.0) if fast == "natbell"
-                else (1.0, 1.0, 1e15)
+        for fast in ("dense", "natbell", "fine"):
+            fine_bps = 1e18 if fast == "fine" else 1.0
+            mod._DENSE_TPS, mod._NATBELL_TPS = (
+                (1e18, 1.0) if fast == "dense"
+                else (1.0, 1e18) if fast == "natbell"
+                else (1.0, 1.0)
             )
+            fmod.GATHER_BPS = fmod.GATHER_BPS_LARGE = fine_bps
+            fmod.COMBINE_BPS = fine_bps
             fn, name, flops = mod.csr_spmm_auto(m, 128)
             assert fast in name, name
             assert flops > 0
@@ -389,7 +394,8 @@ def test_csr_spmm_auto_regimes():
             np.testing.assert_allclose(C[: m.rows, :128], ref, rtol=2e-5,
                                        atol=2e-5)
     finally:
-        mod._DENSE_TPS, mod._NATBELL_TPS, mod._BCOO_TPS = orig
+        (mod._DENSE_TPS, mod._NATBELL_TPS,
+         fmod.GATHER_BPS, fmod.GATHER_BPS_LARGE, fmod.COMBINE_BPS) = orig
 
 
 @pytest.mark.parametrize("n_parts", [2, 3])
