@@ -11,9 +11,12 @@ import pytest
 
 from sparta_tpu.formats.csr import CSR, random_uniform_csr, rmat_csr
 from sparta_tpu.ops.fine import (
+    DedupDevice,
     FellDevice,
     FineDevice,
     choose_width,
+    dedup_model_s,
+    dedup_spmm,
     fell_slots,
     fell_spmm,
     fine_model_s,
@@ -85,6 +88,66 @@ def test_fine_model_monotonic():
     # more nonzeros -> more modeled time; used by csr_spmm_auto
     a = fine_model_s(10_000, 1000, 512)
     b = fine_model_s(1_000_000, 1000, 512)
+    assert b > a > 0
+
+
+# ------------------------------------------------------------ DEDUP ----
+def test_dedup_spmm_matches_dense():
+    """Distinct-column dedup path: duplicates within a tile share one
+    gathered row; values fold into the dense W operand."""
+    m = rmat_csr(9, edge_factor=8, seed=5)  # hub cols -> real dedup
+    B = np.random.default_rng(1).standard_normal((m.cols, 512)).astype(
+        np.float32)
+    dev = DedupDevice.from_csr(m, dtype=jnp.float32, tile_rows=128,
+                               chunk=512)
+    assert dev.n_slots < m.nnz + len(np.asarray(dev.tptr)) * 128 + 512
+    C = np.asarray(dedup_spmm(dev, jnp.asarray(B)))
+    np.testing.assert_allclose(C, _dense_oracle(m, B), rtol=1e-3, atol=1e-3)
+
+
+def test_dedup_spmm_tail_chunk_overrun():
+    """Tile regions are 128-aligned but chunks read C slots: the in-kernel
+    tail mask must zero the overrun into the NEXT tile's live slots."""
+    m = random_uniform_csr(300, 400, density=0.02, seed=3)
+    B = np.random.default_rng(2).standard_normal((400, 512)).astype(
+        np.float32)
+    # chunk larger than any region: every tile's single chunk overruns
+    dev = DedupDevice.from_csr(m, dtype=jnp.float32, tile_rows=128,
+                               chunk=2048)
+    C = np.asarray(dedup_spmm(dev, jnp.asarray(B)))
+    np.testing.assert_allclose(C, _dense_oracle(m, B), rtol=1e-4, atol=1e-4)
+
+
+def test_dedup_spmm_int8_b():
+    m = rmat_csr(9, edge_factor=8, seed=5)
+    B = np.random.default_rng(3).standard_normal((m.cols, 512)).astype(
+        np.float32)
+    dev = DedupDevice.from_csr(m, dtype=jnp.float32, tile_rows=128,
+                               chunk=512)
+    C = np.asarray(dedup_spmm(dev, jnp.asarray(B), b_int8=True),
+                   np.float32)
+    ref = _dense_oracle(m, B)
+    denom = np.abs(ref).max() + 1e-9
+    assert np.abs(C - ref).max() / denom < 2e-2
+
+
+def test_dedup_duplicate_coo_entries_sum():
+    """Stored duplicate (row, col) entries accumulate into one W cell —
+    same semantics as the serial CSR.multiply oracle (which sums every
+    stored entry)."""
+    rows = np.array([0, 0, 5, 5, 5])
+    cols = np.array([3, 3, 7, 7, 2])
+    vals = np.array([1.0, 2.0, 4.0, 8.0, 16.0], dtype=np.float32)
+    m = CSR.from_coo(rows, cols, vals, (130, 10))
+    dev = DedupDevice.from_csr(m, dtype=jnp.float32, chunk=512)
+    eye = np.eye(10, 128, dtype=np.float32)
+    C = np.asarray(dedup_spmm(dev, jnp.asarray(eye)))
+    np.testing.assert_allclose(C[:, :10], m.multiply(np.eye(10, dtype=np.float32)))
+
+
+def test_dedup_model_monotonic():
+    a = dedup_model_s(10_000, 1000, 512)
+    b = dedup_model_s(1_000_000, 1000, 512)
     assert b > a > 0
 
 
