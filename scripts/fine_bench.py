@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--n", type=int, default=2048)
     ap.add_argument("--out", default="results/fine_bench.json")
+    ap.add_argument("--graphs", default="",
+                    help="comma-separated subset: wikiquote,social,rmat17")
+    ap.add_argument("--cells", default="bcoo,fell,fine,dedup,dedup_int8,auto")
     args = ap.parse_args()
 
     import jax
@@ -41,11 +44,13 @@ def main():
     from sparta_tpu.datasets import load_reference_graph
     from sparta_tpu.formats.csr import rmat_csr
     from sparta_tpu.ops import (
+        DedupDevice,
         FellDevice,
         FineDevice,
         bcoo_spmm,
         csr_spmm_auto,
         csr_to_bcoo,
+        dedup_spmm,
         fell_spmm,
         fine_spmm,
     )
@@ -54,15 +59,21 @@ def main():
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
     N = args.n
-    out = {"n_cols": N, "dtype": "bfloat16"}
+    outp = Path(args.out)
+    out = json.loads(outp.read_text()) if outp.exists() else {}
+    out.update({"n_cols": N, "dtype": "bfloat16"})
+    cells_on = set(args.cells.split(","))
+    sel = set(args.graphs.split(",")) if args.graphs else None
 
     targets = []
-    for name in ("ia-wikiquote-user-edits-nodup", "social_location"):
-        try:
-            targets.append((name, load_reference_graph(name)))
-        except FileNotFoundError as e:
-            log(f"skip {name}: {e}")
-    if not args.quick:
+    for short, name in (("wikiquote", "ia-wikiquote-user-edits-nodup"),
+                        ("social", "social_location")):
+        if sel is None or short in sel:
+            try:
+                targets.append((name, load_reference_graph(name)))
+            except FileNotFoundError as e:
+                log(f"skip {name}: {e}")
+    if (sel is None and not args.quick) or (sel and "rmat17" in sel):
         targets.append(("rmat17_ef8", rmat_csr(17, edge_factor=8, seed=1)))
 
     for name, m in targets:
@@ -91,32 +102,51 @@ def main():
                 row[tag] = {"error": str(e)[:200]}
                 return None
 
-        A = csr_to_bcoo(m, dtype=jnp.bfloat16)
-        t_bcoo = cell("bcoo", lambda b: bcoo_spmm(A, b))
-        del A
+        t_bcoo = t_fine = t_dedup = None
+        if "bcoo" in cells_on:
+            A = csr_to_bcoo(m, dtype=jnp.bfloat16)
+            t_bcoo = cell("bcoo", lambda b: bcoo_spmm(A, b))
+            del A
 
-        fdev = FellDevice.from_csr(m, dtype=jnp.bfloat16)
-        row["fell_width"] = fdev.width
-        t_fell = cell("fell", lambda b: fell_spmm(fdev, b))
-        del fdev
+        if "fell" in cells_on:
+            fdev = FellDevice.from_csr(m, dtype=jnp.bfloat16)
+            row["fell_width"] = fdev.width
+            cell("fell", lambda b: fell_spmm(fdev, b))
+            del fdev
 
-        dev = FineDevice.from_csr(m, dtype=jnp.bfloat16)
-        t_fine = cell("fine", lambda b: fine_spmm(dev, b))
-        del dev
+        if "fine" in cells_on:
+            dev = FineDevice.from_csr(m, dtype=jnp.bfloat16)
+            t_fine = cell("fine", lambda b: fine_spmm(dev, b))
+            del dev
 
-        fn, picked, _ = csr_spmm_auto(m, N, dtype=jnp.bfloat16)
-        row["auto_pick"] = picked
-        cell("auto", fn)
+        if "dedup" in cells_on or "dedup_int8" in cells_on:
+            ddev = DedupDevice.from_csr(m, dtype=jnp.bfloat16)
+            row["dedup_slots"] = ddev.n_slots
+            if "dedup" in cells_on:
+                t_dedup = cell("dedup", lambda b: dedup_spmm(ddev, b))
+            if "dedup_int8" in cells_on:
+                cell("dedup_int8",
+                     lambda b: dedup_spmm(ddev, b, b_int8=True))
+            del ddev
 
-        if t_bcoo and t_fine:
-            row["fine_vs_bcoo"] = round(t_bcoo / t_fine, 2)
-            log(f"  fine vs bcoo: {row['fine_vs_bcoo']}x")
-        if t_bcoo and t_fell:
-            row["fell_vs_bcoo"] = round(t_bcoo / t_fell, 2)
+        if "auto" in cells_on:
+            fn, picked, _ = csr_spmm_auto(m, N, dtype=jnp.bfloat16)
+            row["auto_pick"] = picked
+            cell("auto", fn)
+
+        prev = out.get(name, {})
+        if isinstance(prev, dict):
+            prev.update(row)
+            row = prev
+        base = t_bcoo or (row.get("bcoo", {}).get("ms", 0) / 1e3 or None)
+        for tag, t in (("fine", t_fine), ("dedup", t_dedup)):
+            if base and t:
+                row[f"{tag}_vs_bcoo"] = round(base / t, 2)
+                log(f"  {tag} vs bcoo: {row[f'{tag}_vs_bcoo']}x")
         out[name] = row
+        outp.parent.mkdir(parents=True, exist_ok=True)
+        outp.write_text(json.dumps(out, indent=1))
 
-    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
-    Path(args.out).write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
 
 

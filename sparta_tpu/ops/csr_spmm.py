@@ -121,8 +121,10 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
     - densify + dense GEMM              (density high: padded flops cheap)
     - natural 128-blocking, empty blocks dropped, compact Pallas kernel
       (block-local density high but many empty 128-blocks)
-    - fine slab-gather + mask-combine   (low fill / power-law: real work
-      at the measured gather ceiling, ops/fine.py)
+    - fine slab-gather + mask-combine, or its distinct-column dedup
+      variant (low fill / power-law: real work at the measured gather
+      ceiling, ops/fine.py — dedup wins when hub columns repeat within
+      row tiles)
 
     The raw BCOO scatter (0.05 TF/s measured) is dominated by the fine
     path at every density and is reachable only via ``--csr-impl bcoo``.
@@ -131,7 +133,14 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
     the actual per-call FLOP count of the chosen execution.
     """
     from ..formats.bell import bell_from_csr
-    from .fine import FineDevice, fine_model_s, fine_spmm
+    from .fine import (
+        DedupDevice,
+        FineDevice,
+        dedup_model_s,
+        dedup_spmm,
+        fine_model_s,
+        fine_spmm,
+    )
     from .select import plan_spmm
 
     M, K = cmat.shape
@@ -148,18 +157,27 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
     if M * K * jnp.dtype(dtype).itemsize > DENSIFY_BYTES_CAP:
         t_dense = float("inf")  # densified A would not fit device memory
     t_natbell = 2 * nzb * 128 * 128 * Np / _NATBELL_TPS
-    t_fine = fine_model_s(cmat.nnz, M, Np,
-                          itemsize=jnp.dtype(dtype).itemsize)
+    itemsize = jnp.dtype(dtype).itemsize
+    t_fine = fine_model_s(cmat.nnz, M, Np, itemsize=itemsize)
+    # distinct (128-row-tile, column) pairs — the dedup gather count
+    rows_r = np.repeat(np.arange(M, dtype=np.int64) >> 7, cmat.row_nnz)
+    n_uniq = np.unique(rows_r * np.int64(K) + cmat.indices).size
+    t_dedup = dedup_model_s(n_uniq, M, Np, itemsize=itemsize)
 
-    best = min(t_dense, t_natbell, t_fine)
-    if best == t_fine:
-        fdev = FineDevice.from_csr(cmat, dtype=dtype)
-        if N == Np:
-            fn = lambda B: fine_spmm(fdev, B)  # noqa: E731
+    best = min(t_dense, t_natbell, t_fine, t_dedup)
+    if best in (t_fine, t_dedup):
+        if best == t_dedup:
+            dev = DedupDevice.from_csr(cmat, dtype=dtype)
+            run, sub = dedup_spmm, "dedup"
         else:
-            fn = lambda B: fine_spmm(  # noqa: E731
-                fdev, jnp.pad(B, ((0, 0), (0, Np - N))))[:, :N]
-        return fn, "csr_auto_fine", 2 * cmat.nnz * Np
+            dev = FineDevice.from_csr(cmat, dtype=dtype)
+            run, sub = fine_spmm, "mask"
+        if N == Np:
+            fn = lambda B: run(dev, B)  # noqa: E731
+        else:
+            fn = lambda B: run(  # noqa: E731
+                dev, jnp.pad(B, ((0, 0), (0, Np - N))))[:, :N]
+        return fn, f"csr_auto_fine[{sub}]", 2 * cmat.nnz * Np
     if best == t_dense:
         A = jnp.asarray(cmat.to_dense(), dtype=dtype)
         return (lambda B: dense_matmul(A, B)), "csr_auto_dense", 2 * M * K * N
