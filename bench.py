@@ -135,8 +135,12 @@ def main():
                                                       chunk=chunk),
           B, flops)
 
-    # int8 quantized path (2x MXU peak; ~1e-2 rel err): reported in the
-    # detail table, NOT in the headline (different accuracy class)
+    # int8 quantized path (2x MXU peak).  Headline-legal when its
+    # end-to-end error (A-block + B quantization included) vs the fp32
+    # oracle on the same structure meets the matched-accuracy criterion
+    # (<= 1e-2 relative, SURVEY §7); reported as a SECOND headline ratio,
+    # never replacing the bf16 one.
+    int8_avg = int8_err = None
     try:
         from sparta_tpu.ops import bell_spmm_int8_unrolled, quantize_b
         from sparta_tpu.ops.quant import QBellCompactDevice
@@ -145,12 +149,24 @@ def main():
         Bq, bscale = quantize_b(B, block)
         Bqf = jnp.asarray(Bq).reshape(-1, N)
         tq = 1024 if N % 1024 == 0 else tn
-        avg, std, _ = time_op(
-            lambda b: bell_spmm_int8_unrolled(qc, b, bscale, tn=tq,
-                                              chunk=chunk),
-            Bqf, warmup=1, reps=reps, inner_iters=inner or None)
+
+        def int8_fn(b):
+            return bell_spmm_int8_unrolled(qc, b, bscale, tn=tq, chunk=chunk)
+
+        # fp32 oracle on the same bell structure / row order
+        devf = BellDevice.from_host(bell, dtype=jnp.float32)
+        ref = np.asarray(bell_spmm_xla(devf, B.astype(jnp.float32)))
+        del devf
+        got = np.asarray(int8_fn(Bqf), np.float32)
+        int8_err = float(np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9))
+
+        avg, std, _ = time_op(int8_fn, Bqf, warmup=1, reps=reps,
+                              inner_iters=inner or None)
+        int8_avg = avg
+        gate = "PASS" if int8_err <= 1e-2 else "FAIL"
         log(f"{'int8_unrolled':16s}: {avg*1e3:9.3f} ms  ({flops/avg/1e12:6.2f} "
-            f"TFLOP/s eff, std {std*1e3:.3f})  [not in headline]")
+            f"TFLOP/s eff, std {std*1e3:.3f})  rel_err {int8_err:.2e} "
+            f"[accuracy gate {gate}]")
     except Exception as e:  # noqa: BLE001
         log(f"int8_unrolled   : FAILED {type(e).__name__}: {e}")
 
@@ -236,6 +252,12 @@ def main():
         }
         for k, v in unstructured.items():
             out[f"vs_{k}"] = round(v / blocked, 2)
+        if int8_avg and int8_err is not None and int8_err <= 1e-2:
+            # matched-accuracy second ratio (bf16 stays the headline)
+            out["int8_blocked_ms"] = round(int8_avg * 1e3, 3)
+            out["int8_rel_err"] = round(int8_err, 5)
+            out["int8_speedup_vs_best_unstructured"] = round(
+                unstructured[best_name] / int8_avg, 2)
     print(json.dumps(out), flush=True)
 
 

@@ -225,3 +225,25 @@ def test_config_hash_stable_across_new_default_fields(tmp_path):
     assert config_hash(dataclasses.replace(cfg, tau=0.4)) != h
     # outfile/verbose never contribute
     assert config_hash(dataclasses.replace(cfg, outfile="x", verbose=2)) == h
+
+
+def test_quantized_run_emits_rel_err(tmp_path):
+    """int8/fp8 runner rows must carry an end-to-end rel_err vs the fp32
+    oracle on the same structure (VERDICT r2 #4 accuracy evidence)."""
+    from sparta_tpu.bench.runner import run_experiment
+    from sparta_tpu.formats import random_block_csr
+
+    m = random_block_csr(256, 256, block=128, block_density=0.5,
+                         intra_density=0.4, seed=3)
+    path = tmp_path / "q.el"
+    m.save_to_edgelist(path)
+    cfg = Config(filename=str(path), blocking_algo=2, force_fixed_size=True,
+                 multiplication_algo=8, row_block_size=128,
+                 col_block_size=128, b_cols=256, dtype="int8",
+                 exp_repetitions=2, warmup=0, inner_iters=2,
+                 outfile=str(tmp_path / "q.csv"))
+    row = run_experiment(cfg)
+    assert "int8" in row["backend"]
+    assert 0 < row["rel_err"] < 5e-2
+    header = (tmp_path / "q.csv").read_text().splitlines()[0]
+    assert "rel_err" in header
