@@ -25,6 +25,7 @@ import numpy as np
 from ..formats.bell import bell_from_csr
 from ..formats.csr import CSR
 from ..ops.autodiff import bell_spmm
+from ..ops.fine import DedupDevice, dedup_pair_from_csr, dedup_spmm_ad
 from ..reorder.engine import BlockingEngine
 from ..utils import get_permutation
 
@@ -51,6 +52,10 @@ class GCNConfig:
     block: int = 128
     tau: float = 0.3
     dtype: str = "float32"
+    # "bell": reorder + Blocked-ELL (latent-block graphs, the default);
+    # "fine": distinct-column dedup SpMM (ops/fine.py) — power-law graphs
+    # where 128-blocking pads away all density; no reordering needed
+    adjacency: str = "bell"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,14 +65,26 @@ class GCN:
     cfg: GCNConfig
     n_nodes: int
     perm: np.ndarray          # original node id -> position used on device
-    cols_idx: jax.Array       # [nbr, max_nb] adjacency block columns
-    nb_row: jax.Array         # [nbr]
-    adj_vals: jax.Array       # [nbr, max_nb, b, b] normalized adjacency blocks
+    cols_idx: jax.Array | None       # [nbr, max_nb] adjacency block columns
+    nb_row: jax.Array | None         # [nbr]
+    adj_vals: jax.Array | None  # [nbr, max_nb, b, b] normalized adj blocks
+    fine_fwd: DedupDevice | None = None   # adjacency="fine" packing
+    fine_bwd: DedupDevice | None = None   # A_hat^T for the backward pass
 
     @classmethod
     def create(cls, adj: CSR, cfg: GCNConfig) -> "GCN":
         """adj: unweighted/weighted graph adjacency (CSR)."""
         ahat = normalize_adjacency(adj)
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        if cfg.adjacency == "fine":
+            fwd, bwd = dedup_pair_from_csr(ahat, dtype=dtype)
+            return cls(
+                cfg=cfg,
+                n_nodes=adj.rows,
+                perm=np.arange(adj.rows),
+                cols_idx=None, nb_row=None, adj_vals=None,
+                fine_fwd=fwd, fine_bwd=bwd,
+            )
         eng = BlockingEngine(
             tau=cfg.tau,
             row_block_size=cfg.block,
@@ -78,7 +95,6 @@ class GCN:
         perm = get_permutation(grouping)
         relabeled = ahat.reorder2d(grouping)
         bell = bell_from_csr(relabeled, None, block_row_size=cfg.block)
-        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         return cls(
             cfg=cfg,
             n_nodes=adj.rows,
@@ -87,6 +103,22 @@ class GCN:
             nb_row=jnp.asarray(bell.nb_row),
             adj_vals=jnp.asarray(bell.vals, dtype=dtype),
         )
+
+    def _apply_fine(self, params, X: jax.Array) -> jax.Array:
+        """Aggregation through the dedup kernel; features padded to the
+        128-lane slab width (zero columns are exact no-ops)."""
+        dtype = self.fine_fwd.W.dtype
+        H = X.astype(dtype)
+        nlayers = len(params["layers"])
+        for i, lp in enumerate(params["layers"]):
+            F = H.shape[1]
+            Fp = -(-F // 128) * 128
+            Hp = H if F == Fp else jnp.pad(H, ((0, 0), (0, Fp - F)))
+            H = dedup_spmm_ad(self.fine_fwd, self.fine_bwd, Hp)[:, :F]
+            H = H @ lp["w"].astype(dtype) + lp["b"].astype(dtype)
+            if i < nlayers - 1:
+                H = jax.nn.relu(H)
+        return H.astype(jnp.float32)
 
     def _dims(self) -> list[tuple[int, int]]:
         cfg = self.cfg
@@ -111,6 +143,8 @@ class GCN:
 
     def apply(self, params, X: jax.Array) -> jax.Array:
         """X [n_nodes, in_dim] -> logits [n_nodes, out_dim] (original order)."""
+        if self.cfg.adjacency == "fine":
+            return self._apply_fine(params, X)
         cfg = self.cfg
         dtype = self.adj_vals.dtype
         nbr, max_nb, bh, bw = self.adj_vals.shape

@@ -478,6 +478,43 @@ def dedup_spmm(dev: DedupDevice, B: jax.Array,
     return _dedup_spmm(dev, B, b_int8=b_int8)
 
 
+def dedup_pair_from_csr(cmat: CSR, dtype=jnp.bfloat16, tile_rows: int = 128,
+                        chunk: int = 2048):
+    """(forward, transpose) DedupDevice pair for a fixed sparse operand —
+    the training-time packing: C = A @ B forward, dB = A^T @ dC backward."""
+    fwd = DedupDevice.from_csr(cmat, dtype=dtype, tile_rows=tile_rows,
+                               chunk=chunk)
+    rows = np.repeat(np.arange(cmat.rows, dtype=np.int64), cmat.row_nnz)
+    mt = CSR.from_coo(cmat.indices, rows, cmat.values(),
+                      (cmat.cols, cmat.rows))
+    bwd = DedupDevice.from_csr(mt, dtype=dtype, tile_rows=tile_rows,
+                               chunk=chunk)
+    return fwd, bwd
+
+
+@jax.custom_vjp
+def dedup_spmm_ad(dev: DedupDevice, devT: DedupDevice,
+                  B: jax.Array) -> jax.Array:
+    """Differentiable C = A @ B through the dedup kernel (gradient flows
+    to B only; the sparse operand is static structure, as in a GCN
+    adjacency).  ``devT`` packs A^T so the backward pass rides the same
+    MXU combine: dB = A^T @ dC."""
+    return _dedup_spmm(dev, B)
+
+
+def _dedup_ad_fwd(dev, devT, B):
+    # zero-size token carries B's dtype through the residuals
+    return _dedup_spmm(dev, B), (devT, jnp.zeros((0,), B.dtype))
+
+
+def _dedup_ad_bwd(res, dC):
+    devT, tok = res
+    return None, None, _dedup_spmm(devT, dC.astype(tok.dtype))
+
+
+dedup_spmm_ad.defvjp(_dedup_ad_fwd, _dedup_ad_bwd)
+
+
 def dedup_model_s(n_uniq: int, n_rows: int, N: int, tile_rows: int = 128,
                   chunk: int = 2048, itemsize: int = 2) -> float:
     """Modeled seconds per call from the distinct-pair count (host-side:

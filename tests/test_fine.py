@@ -199,3 +199,51 @@ def test_csr_auto_picks_fine_on_powerlaw():
     ref = np.asarray(m.to_scipy() @ B)
     denom = np.abs(ref).max() + 1e-9
     assert np.abs(C[: m.rows] - ref).max() / denom < 3e-2
+
+
+def test_dedup_spmm_ad_grad_matches_dense():
+    """Custom VJP: dB = A^T @ dC through the transpose-packed device."""
+    from sparta_tpu.ops.fine import dedup_pair_from_csr, dedup_spmm_ad
+
+    m = rmat_csr(8, edge_factor=6, seed=2)
+    dev, devT = dedup_pair_from_csr(m, dtype=jnp.float32, chunk=512)
+    rng = np.random.default_rng(0)
+    B = jnp.asarray(rng.standard_normal((m.cols, 128)).astype(np.float32))
+    T = jnp.asarray(rng.standard_normal((m.rows, 128)).astype(np.float32))
+
+    def loss(b):
+        return jnp.sum(dedup_spmm_ad(dev, devT, b) * T)
+
+    g = np.asarray(jax.grad(loss)(B))
+    A = m.to_dense()
+    g_ref = A.T @ np.asarray(T)
+    np.testing.assert_allclose(g, g_ref, rtol=1e-4, atol=1e-4)
+    v_ref = float((A @ np.asarray(B) * np.asarray(T)).sum())
+    assert abs(float(loss(B)) - v_ref) / abs(v_ref) < 1e-4
+
+
+def test_gcn_fine_adjacency_trains():
+    """GCN with adjacency='fine': power-law graph, no blocking/reordering,
+    loss decreases through the dedup kernel's custom VJP."""
+    import optax
+
+    from sparta_tpu.models.gcn import GCN, GCNConfig, make_gcn_train_step
+
+    m = rmat_csr(8, edge_factor=6, seed=2)
+    cfg = GCNConfig(in_dim=16, hidden_dim=128, out_dim=4, n_layers=2,
+                    adjacency="fine")
+    gcn = GCN.create(m, cfg)
+    params = gcn.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal((m.rows, 16)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 4, m.rows))
+    mask = jnp.ones(m.rows)
+    opt = optax.adam(1e-2)
+    step = make_gcn_train_step(gcn, opt)
+    st = opt.init(params)
+    first = None
+    for _ in range(25):
+        params, st, loss = step(params, st, X, labels, mask)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < first * 0.8
