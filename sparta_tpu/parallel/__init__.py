@@ -4,6 +4,8 @@ from .spmm import (
     shard_bell_rowwise,
     spmm_colsplit_reduce_scatter,
     spmm_ring,
+    dedup_spmm_rowsharded,
+    shard_dedup_rowwise,
     spmm_rowsharded,
     split_bell_cols,
 )
@@ -16,6 +18,8 @@ __all__ = [
     "sharding",
     "spmm_colsplit_reduce_scatter",
     "spmm_ring",
+    "dedup_spmm_rowsharded",
+    "shard_dedup_rowwise",
     "spmm_rowsharded",
     "split_bell_cols",
 ]

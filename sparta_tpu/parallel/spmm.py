@@ -248,3 +248,94 @@ def spmm_ring(
         out_specs=P(axis, None),
         check_vma=False,
     )(bell_dev.cols_idx, bell_dev.nb_row, bell_dev.vals, B)
+
+
+# --------------------------------------------------- fine-grained (dedup) ---
+@dataclasses.dataclass
+class ShardedDedup:
+    """Row-tile-sharded DedupDevice arrays, leading mesh dim P.
+
+    Each shard owns an equal slice of row tiles with its own tile-aligned
+    slot stream (padded to the largest shard); gidx references the FULL
+    column space, so B stays replicated and the layout needs no
+    collectives — the fine-grained cousin of ``spmm_rowsharded``."""
+
+    gidx: jax.Array    # int32 [P, Spad]
+    W: jax.Array       # [P, Spad, R]
+    tptr: jax.Array    # int32 [P, ntiles_local+1]
+    rows: int          # true (unpadded) global row count
+    tile_rows: int
+    chunk: int
+
+
+def shard_dedup_rowwise(cmat, mesh: Mesh, axis: str = "x",
+                        dtype=jnp.bfloat16, tile_rows: int = 128,
+                        chunk: int = 2048) -> ShardedDedup:
+    """Partition rows evenly (tile-aligned) and pack each part as its own
+    DedupDevice; dedup happens within each shard's tiles exactly as in the
+    single-chip packing."""
+    from ..formats.csr import CSR
+    from ..ops.fine import DedupDevice
+
+    n = mesh.shape[axis]
+    rows_per = round_up(ceil_div(cmat.rows, n), tile_rows)
+    S = cmat.to_scipy()
+    devs = []
+    for i in range(n):
+        lo = min(i * rows_per, cmat.rows)
+        hi = min(lo + rows_per, cmat.rows)
+        part = CSR.from_scipy(S[lo:hi]).with_shape((rows_per, cmat.cols))
+        devs.append(DedupDevice.from_csr(part, dtype=dtype,
+                                         tile_rows=tile_rows, chunk=chunk))
+    smax = max(d.n_slots for d in devs)
+    ntl = rows_per // tile_rows
+
+    def padslots(a, fill):
+        a = np.asarray(a)
+        return np.pad(a, [(0, smax - a.shape[0])] + [(0, 0)] * (a.ndim - 1),
+                      constant_values=fill)
+
+    gidx = np.stack([padslots(d.gidx, 0) for d in devs])
+    W = np.stack([padslots(np.asarray(d.W, np.float32), 0) for d in devs])
+    tptr = np.stack([np.asarray(d.tptr)[: ntl + 1] for d in devs])
+    sh = lambda *spec: NamedSharding(mesh, P(*spec))
+    return ShardedDedup(
+        gidx=jax.device_put(jnp.asarray(gidx), sh(axis, None)),
+        W=jax.device_put(jnp.asarray(W, dtype=dtype), sh(axis, None, None)),
+        tptr=jax.device_put(jnp.asarray(tptr), sh(axis, None)),
+        rows=cmat.rows,
+        tile_rows=tile_rows,
+        chunk=chunk,
+    )
+
+
+def dedup_spmm_rowsharded(sdev: ShardedDedup, B: jax.Array,
+                          mesh: Mesh, axis: str = "x") -> jax.Array:
+    """C = A @ B through the dedup kernel with row tiles sharded and B
+    replicated — no collectives; each chip runs the production Pallas
+    combine on its resident slots."""
+    from ..ops.fine import _pick_slab, dedup_combine
+
+    R, C = sdev.tile_rows, sdev.chunk
+    ntl = sdev.tptr.shape[1] - 1
+    Mloc = ntl * R
+
+    def local(gidx, W, tptr, b):
+        gidx, W, tptr = gidx[0], W[0], tptr[0]
+        nt = _pick_slab(b.shape[1])
+        outs = []
+        for s in range(b.shape[1] // nt):
+            bs = jax.lax.slice_in_dim(b, s * nt, (s + 1) * nt, axis=1)
+            Bg = bs[gidx].astype(W.dtype)
+            outs.append(dedup_combine(tptr, W, Bg, Mloc, R=R, C=C))
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        return out.astype(b.dtype)
+
+    full = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None, None), P(axis, None),
+                  P(None, None)),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )(sdev.gidx, sdev.W, sdev.tptr, B)
+    return full[: sdev.rows]

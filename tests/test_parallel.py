@@ -209,3 +209,20 @@ def test_partitioned_reorder_quality_degradation():
         g_part = partitioned_reorder(m, eng(), n_parts=n_parts)
         ratio = nzblocks(m, g_part, b) / nzblocks(m, g_global, b)
         assert ratio <= bound, (shuffle, ratio)
+
+
+def test_dedup_spmm_rowsharded_matches_oracle():
+    """Fine-grained dedup kernel row-tile-sharded over the mesh: B stays
+    replicated, no collectives, per-shard tile-aligned slot streams."""
+    from sparta_tpu.formats.csr import rmat_csr
+    from sparta_tpu.parallel import dedup_spmm_rowsharded, shard_dedup_rowwise
+
+    m = rmat_csr(10, edge_factor=6, seed=3)
+    mesh = make_mesh(8)
+    sdev = shard_dedup_rowwise(m, mesh, dtype=jnp.float32, chunk=512)
+    B = jnp.asarray(
+        np.random.default_rng(0).standard_normal((m.cols, 256)).astype(
+            np.float32))
+    C = np.asarray(dedup_spmm_rowsharded(sdev, B, mesh))
+    ref = np.asarray(m.to_scipy() @ np.asarray(B))
+    np.testing.assert_allclose(C, ref, rtol=1e-4, atol=1e-4)
