@@ -108,9 +108,25 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
         )
 
     if algo == MultiplicationAlgo.csr_spmm:
-        if getattr(cfg, "csr_impl", "auto") == "bcoo":
+        impl = getattr(cfg, "csr_impl", "auto")
+        if impl == "bcoo":
             A = csr_to_bcoo(m, dtype=dtype)
             return (lambda B: bcoo_spmm(A, B)), (m.cols, N), "csr_bcoo", 2 * m.nnz * N
+        if impl in ("fine", "dedup", "fell"):
+            from ..ops import fine as _fine
+
+            Np = round_up(N, 128)
+            if impl == "fell":
+                fdev = _fine.FellDevice.from_csr(m, dtype=dtype)
+                run = _fine.fell_spmm
+            elif impl == "dedup":
+                fdev = _fine.DedupDevice.from_csr(m, dtype=dtype)
+                run = _fine.dedup_spmm
+            else:
+                fdev = _fine.FineDevice.from_csr(m, dtype=dtype)
+                run = _fine.fine_spmm
+            return ((lambda B: run(fdev, B)), (m.cols, Np),
+                    f"csr_{impl}", 2 * m.nnz * Np)
         from ..ops.csr_spmm import csr_spmm_auto
 
         fn, name, flops = csr_spmm_auto(

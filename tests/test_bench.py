@@ -247,3 +247,19 @@ def test_quantized_run_emits_rel_err(tmp_path):
     assert 0 < row["rel_err"] < 5e-2
     header = (tmp_path / "q.csv").read_text().splitlines()[0]
     assert "rel_err" in header
+
+
+@pytest.mark.parametrize("impl", ["fine", "dedup", "fell"])
+def test_csr_impl_fine_family(tmp_path, impl):
+    """--csr-impl {fine,dedup,fell} forces the named fine-grained kernel
+    for -M 2 and stays numerically correct."""
+    from sparta_tpu.bench.runner import run_experiment
+
+    cfg = Config(filename="tests/fixtures/TEST_matrix_weighted.el",
+                 blocking_algo=2, force_fixed_size=True,
+                 multiplication_algo=2, b_cols=128, csr_impl=impl,
+                 exp_repetitions=2, warmup=0, inner_iters=2,
+                 outfile=str(tmp_path / "c.csv"))
+    row = run_experiment(cfg)
+    assert row["backend"] == f"csr_{impl}"
+    assert row["avg_time_multiply"] > 0
