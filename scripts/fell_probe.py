@@ -1,0 +1,101 @@
+"""Measure the FELL fine-grained SpMM vs the BCOO scatter baseline on the
+verdict's three pain shapes (real v5e):
+
+  - ia-wikiquote-user-edits-nodup  (21608^2, nnz 239k, b_cols 2048)
+  - social_location                (58226^2, nnz 214k, b_cols 2048)
+  - RMAT scale-17 edge-factor 8    (131072^2, ~1M nnz, 0.04% block fill)
+
+Also times the current csr_spmm_auto pick for context, and a W sweep on one
+graph to calibrate the fell cost model.
+
+Usage: python scripts/fell_probe.py [--quick] [--out results/fell_probe.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--feat", type=int, default=2048)
+    ap.add_argument("--out", default="results/fell_probe.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sparta_tpu.bench.timing import time_op
+    from sparta_tpu.datasets import load_reference_graph
+    from sparta_tpu.formats.csr import rmat_csr
+    from sparta_tpu.ops import bcoo_spmm, csr_to_bcoo
+    from sparta_tpu.ops.fine import FellDevice, choose_width, fell_model_s, fell_spmm
+
+    log(f"devices: {jax.devices()}")
+    dtype = jnp.bfloat16
+
+    mats = {}
+    try:
+        mats["ia-wikiquote"] = load_reference_graph(
+            "ia-wikiquote-user-edits-nodup")
+        mats["social_location"] = load_reference_graph("social_location")
+    except Exception as e:  # noqa: BLE001
+        log(f"reference graphs unavailable: {e}")
+    if not args.quick:
+        mats["rmat17_ef8"] = rmat_csr(17, edge_factor=8, seed=1)
+
+    out = {}
+    for name, m in mats.items():
+        N = args.feat
+        log(f"--- {name}: {m.rows}x{m.cols} nnz={m.nnz}")
+        B = jnp.asarray(
+            np.random.default_rng(0).standard_normal((m.cols, N)),
+            dtype=dtype)
+        flops = 2 * m.nnz * N
+        row = {"rows": m.rows, "nnz": m.nnz, "b_cols": N}
+
+        w_auto = choose_width(m.row_nnz, N, 2)
+        widths = sorted({4, 8, 16, w_auto})
+        for w in widths:
+            dev = FellDevice.from_csr(m, width=w, dtype=dtype)
+            avg, std, _ = time_op(lambda b, d=dev: fell_spmm(d, b), B, reps=3)
+            model = fell_model_s(m.row_nnz, w, N, 2)
+            log(f"fell_w{w:<3}      : {avg*1e3:9.3f} ms "
+                f"({flops/avg/1e12:6.3f} TF/s eff, model {model*1e3:.3f} ms, "
+                f"n_virt {dev.cols.shape[0]}, std {std*1e3:.3f})")
+            row[f"fell_w{w}_ms"] = round(avg * 1e3, 3)
+            row[f"fell_w{w}_model_ms"] = round(model * 1e3, 3)
+        row["w_auto"] = w_auto
+
+        try:
+            A = csr_to_bcoo(m, dtype=dtype)
+            avg_b, std_b, _ = time_op(lambda b: bcoo_spmm(A, b), B, reps=3)
+            log(f"csr_bcoo       : {avg_b*1e3:9.3f} ms "
+                f"({flops/avg_b/1e12:6.3f} TF/s eff, std {std_b*1e3:.3f})")
+            row["bcoo_ms"] = round(avg_b * 1e3, 3)
+            best_fell = min(v for k, v in row.items()
+                            if k.startswith("fell_w") and k.endswith("_ms"))
+            row["fell_vs_bcoo"] = round(row["bcoo_ms"] / best_fell, 2)
+            log(f"fell vs bcoo   : {row['fell_vs_bcoo']}x")
+        except Exception as e:  # noqa: BLE001
+            log(f"bcoo failed: {e}")
+        out[name] = row
+
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    Path(args.out).write_text(json.dumps(out, indent=1))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,242 @@
+"""VERDICT r2 #3: the two unexplored headline-kernel knobs.
+
+  (a) bw=256 blocks: halve the block count (halves fori iterations and
+      chunk-padding dots) at ~2x per-dot time — the repo's latency model
+      (93 ns/dot ~= 34 ns MXU + ~60 ns issue) predicts a net win.
+  (b) explicit double-buffered out-tile DMA: the 100 us pipeline floor is
+      ~57 us of serialized C writes; overlap the finished tile's HBM write
+      with the next block-row's compute via a manual 2-slot output buffer.
+
+Runs the headline bench shape (10240^2 planted blocks, N=2048) and times:
+  unrolled bw=128 (baseline) / unrolled bw=256 / dbout bw=128 /
+  dbout bw=256, with correctness checks against the XLA reference.
+
+Usage: python scripts/knobs_probe.py [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_dbout(jax, jnp, pl, pltpu):
+    """Guard-free unrolled kernel with manual double-buffered output DMA."""
+
+    def kernel(row_ptr_ref, cols_ref, vals_hbm, b_hbm, out_hbm,
+               b_tile, vbuf, acc_ref, obuf, bsem, vsems, osems,
+               *, bw, tn, chunk, nslots, bh):
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        nbr = pl.num_programs(1)
+        nj = pl.num_programs(0)
+
+        @pl.when(i == 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                b_hbm.at[:, pl.ds(j * tn, tn)], b_tile, bsem)
+            cp.start()
+            cp.wait()
+
+        start = row_ptr_ref[i]
+        nchunks = (row_ptr_ref[i + 1] - start) // chunk
+
+        def vdma(c, slot):
+            return pltpu.make_async_copy(
+                vals_hbm.at[pl.ds(start + c * chunk, chunk)],
+                vbuf.at[slot], vsems.at[slot])
+
+        for s in range(nslots - 1):
+            @pl.when(s < nchunks)
+            def _(s=s):
+                vdma(s, s).start()
+
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def body(c, _):
+            slot = jax.lax.rem(c, nslots)
+
+            @pl.when(c + (nslots - 1) < nchunks)
+            def _():
+                vdma(c + (nslots - 1),
+                     jax.lax.rem(c + (nslots - 1), nslots)).start()
+
+            vdma(c, slot).wait()
+            for k in range(chunk):
+                jb = cols_ref[start + c * chunk + k]
+                acc_ref[...] += jax.lax.dot(
+                    vbuf[slot, k], b_tile[pl.ds(jb * bw, bw), :],
+                    preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, nchunks, body, 0)
+
+        g = j * nbr + i
+        oslot = jax.lax.rem(g, 2)
+
+        def odma(slot):
+            return pltpu.make_async_copy(
+                obuf.at[slot],
+                out_hbm.at[pl.ds(i * bh, bh), pl.ds(j * tn, tn)],
+                osems.at[slot])
+
+        # before overwriting obuf[oslot], drain the write issued 2 steps
+        # ago on the same slot (wait is a semaphore count of equal bytes)
+        @pl.when(g >= 2)
+        def _():
+            odma(oslot).wait()
+
+        obuf[oslot] = acc_ref[...].astype(obuf.dtype)
+        odma(oslot).start()
+
+        # final step: drain both outstanding writes
+        @pl.when(g == nj * nbr - 1)
+        def _():
+            @pl.when(g >= 1)
+            def _():
+                odma(jax.lax.rem(g + 1, 2)).wait()
+            odma(oslot).wait()
+
+    @functools.partial(
+        jax.jit, static_argnames=("tn", "chunk", "nslots", "out_dtype"))
+    def dbout(bell, B, tn=512, chunk=4, nslots=2, out_dtype=None):
+        total, bh, bw = bell.vals_flat.shape
+        nbr = bell.n_block_rows
+        K, N = B.shape
+        out_dtype = out_dtype or B.dtype
+        kern = functools.partial(kernel, bw=bw, tn=tn, chunk=chunk,
+                                 nslots=nslots, bh=bh)
+        return pl.pallas_call(
+            kern,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(N // tn, nbr),
+                in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                          pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=pl.BlockSpec(memory_space=pl.ANY),
+                scratch_shapes=[
+                    pltpu.VMEM((K, tn), B.dtype),
+                    pltpu.VMEM((nslots, chunk, bh, bw),
+                               bell.vals_flat.dtype),
+                    pltpu.VMEM((bh, tn), jnp.float32),
+                    pltpu.VMEM((2, bh, tn), out_dtype),
+                    pltpu.SemaphoreType.DMA(()),
+                    pltpu.SemaphoreType.DMA((nslots,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((nbr * bh, N), out_dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+                has_side_effects=True,
+            ),
+            interpret=jax.default_backend() == "cpu",
+        )(bell.row_ptr, bell.cols_flat, bell.vals_flat, B)
+
+    return dbout
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", default="results/knobs_probe.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sparta_tpu.bench.timing import time_op
+    from sparta_tpu.bench.tau import search_tau
+    from sparta_tpu.formats import bell_from_csr, random_block_csr
+    from sparta_tpu.ops import (
+        bell_spmm_pallas_compact_unrolled,
+        bell_spmm_xla,
+        BellDevice,
+        compact_auto_chunk,
+        compact_from_host_padded,
+    )
+
+    log(f"devices: {jax.devices()}")
+    if args.quick:
+        n, block, bdens, intra, N = 2048, 128, 0.05, 0.35, 512
+    else:
+        n, block, bdens, intra, N = 10240, 128, 0.08, 0.13, 2048
+    m = random_block_csr(n, n, block=block, block_density=bdens,
+                         intra_density=intra, seed=7)
+    log(f"matrix: {n}x{n} nnz={m.nnz}")
+    res = search_tau(m, block, block, taus=(0.5, 0.3, 0.1, 0.05)
+                     if not args.quick else (0.3, 0.1))
+    grouping = res.grouping
+    dtype = jnp.bfloat16
+    out = {}
+    dbout = build_dbout(jax, jnp, pl, pltpu)
+
+    def cell(name, fn, B, flops, ref=None, reps=3):
+        try:
+            if ref is not None:
+                got = np.asarray(fn(B)).astype(np.float32)[: ref.shape[0]]
+                err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+                if err > 3e-2:
+                    log(f"{name:24}: WRONG relerr={err:.3e}")
+                    out[name] = {"error": f"relerr {err:.3e}"}
+                    return
+            avg, std, _ = time_op(fn, B, reps=reps)
+            log(f"{name:24}: {avg*1e6:9.1f} us  ({flops/avg/1e12:6.2f} TF/s, "
+                f"std {std*1e6:.1f})")
+            out[name] = {"us": round(avg * 1e6, 1),
+                         "tfs": round(flops / avg / 1e12, 2)}
+        except Exception as e:  # noqa: BLE001
+            log(f"{name:24}: FAILED {type(e).__name__}: {str(e)[:200]}")
+            out[name] = {"error": str(e)[:200]}
+
+    for bw in (128, 256):
+        bell = bell_from_csr(m, grouping, block_row_size=block,
+                             block_col_size=bw)
+        chunk = compact_auto_chunk(bell.nb_row)
+        cpad = compact_from_host_padded(bell, chunk, dtype=dtype)
+        B = jnp.asarray(
+            np.random.default_rng(0).standard_normal((bell.shape[1], N)),
+            dtype=dtype)
+        flops = 2 * bell.total_nzblocks * block * bw * N
+        log(f"bw={bw}: nzblocks={bell.total_nzblocks} chunk={chunk} "
+            f"K={bell.shape[1]}")
+        out[f"bw{bw}_blocks"] = int(bell.total_nzblocks)
+        # XLA reference for correctness
+        dev = BellDevice.from_host(bell, dtype=dtype)
+        ref = np.asarray(bell_spmm_xla(dev, B)).astype(np.float32)
+        cell(f"unrolled bw={bw}",
+             lambda b, c=cpad, ch=chunk: bell_spmm_pallas_compact_unrolled(
+                 c, b, tn=512, chunk=ch), B, flops, ref)
+        cell(f"dbout bw={bw}",
+             lambda b, c=cpad, ch=chunk: dbout(c, b, tn=512, chunk=ch),
+             B, flops, ref)
+        # chunk sensitivity at bw=256 (mean nb halves -> smaller chunk)
+        if bw == 256:
+            for ch2 in {2, 3, max(chunk - 1, 2)}:
+                if ch2 == chunk:
+                    continue
+                cp2 = compact_from_host_padded(bell, ch2, dtype=dtype)
+                cell(f"unrolled bw=256 c={ch2}",
+                     lambda b, c=cp2, ch=ch2:
+                     bell_spmm_pallas_compact_unrolled(c, b, tn=512, chunk=ch),
+                     B, flops, ref)
+
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    Path(args.out).write_text(json.dumps(out, indent=1))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
