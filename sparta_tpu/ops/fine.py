@@ -266,19 +266,26 @@ def fine_model_s(nnz: int, n_rows: int, N: int, tile_rows: int = 256,
 # DedupDevice: per-tile distinct-column gather + dense-W MXU combine
 # ---------------------------------------------------------------------------
 
-def _dedup_kernel(tptr_ref, w_hbm, bg_hbm, *rest, R, C, nt, scaled):
+def _dedup_kernel(tptr_ref, w_hbm, *rest, R, C, nt, ns, scaled):
+    bg_hbms, rest = rest[:ns], rest[ns:]
     if scaled:
         scale_ref, out_ref, wbufs, bbufs, acc_ref, sems = rest
     else:
         out_ref, wbufs, bbufs, acc_ref, sems = rest
         scale_ref = None
-    """C_tile[R, nt] = sum_chunks W_chunk[C, R]^T @ Bg_chunk[C, nt].
+    """C_tile[R, ns*nt] = sum_chunks W_chunk[C, R]^T @ Bg_chunk[C, ns*nt].
 
     W folds the values AND the slot->row scatter into a dense operand, so
     one MXU dot per chunk does multiply+scatter+reduce.  Chunks are
     double-buffered: chunk c+1's DMA is in flight while c's dot runs.
     Dead/padding slots carry zero W rows, so overrunning reads into the
-    next tile's region or the safety tail contribute nothing."""
+    next tile's region or the safety tail contribute nothing.
+
+    ``ns`` gathered-B slabs (each [Spad, nt], gathered at the <=1 KB-row
+    sweet spot) land side by side in one VMEM buffer so the whole output
+    width is produced by ONE grid pass — ns x fewer grid steps than
+    calling the kernel per slab (the per-step pipeline cost is what the
+    model says keeps the per-slab variant off 10x; fine_probe2)."""
     t = pl.program_id(0)
     start = tptr_ref[t]
     n = tptr_ref[t + 1] - start
@@ -289,14 +296,15 @@ def _dedup_kernel(tptr_ref, w_hbm, bg_hbm, *rest, R, C, nt, scaled):
         off = start + c * C
         wc = pltpu.make_async_copy(
             w_hbm.at[pl.ds(off, C)], wbufs.at[slot], sems.at[slot, 0])
-        bc = pltpu.make_async_copy(
-            bg_hbm.at[pl.ds(off, C)], bbufs.at[slot], sems.at[slot, 1])
-        return wc, bc
+        bcs = [pltpu.make_async_copy(
+            bg_hbms[k].at[pl.ds(off, C)],
+            bbufs.at[slot, :, pl.ds(k * nt, nt)], sems.at[slot, 1 + k])
+            for k in range(ns)]
+        return [wc] + bcs
 
     def start_copies(c, slot):
-        wc, bc = make_copies(c, slot)
-        wc.start()
-        bc.start()
+        for cp in make_copies(c, slot):
+            cp.start()
 
     @pl.when(nch > 0)
     def _():
@@ -310,9 +318,8 @@ def _dedup_kernel(tptr_ref, w_hbm, bg_hbm, *rest, R, C, nt, scaled):
                 start_copies(c + 1, 1 - slot)
 
             # descriptors only — wait on the copy started a step earlier
-            wc, bc = make_copies(c, slot)
-            wc.wait()
-            bc.wait()
+            for cp in make_copies(c, slot):
+                cp.wait()
             # the tail chunk overruns into the NEXT tile's live slots
             # (regions are 128-aligned, not C-aligned) — zero W beyond
             # this tile's count so overrun slots contribute nothing
@@ -335,23 +342,41 @@ def _dedup_kernel(tptr_ref, w_hbm, bg_hbm, *rest, R, C, nt, scaled):
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
+def _pick_chunk(R, N, wsize, bsize, budget=12 * 2**20):
+    """Largest chunk keeping the kernel's VMEM residency under budget:
+    2 slots of [C, R] W + [C, N] B, the fp32 accumulator, and the
+    pipelined output block."""
+    for C in (2048, 1024, 512, 256):
+        if 2 * C * (R * wsize + N * bsize) + R * N * (4 + wsize) <= budget:
+            return C
+    return 128
+
+
 @functools.partial(jax.jit, static_argnames=("M", "R", "C", "interpret"))
 def dedup_combine(tptr, W, Bg, M, R=128, C=2048, interpret=False,
                   scale=None):
-    """[Spad, R] weights x [Spad, nt] gathered B rows -> [M, nt].
+    """[Spad, R] weights x gathered B rows -> [M, N] row sums.
 
-    With ``scale`` (a [1, nt] per-lane dequant factor) Bg may be int8:
+    ``Bg`` is one [Spad, nt] gathered slab or a tuple of ``ns`` of them
+    (each gathered separately at the <=1 KB-row sweet spot); the kernel
+    consumes ALL slabs in one grid pass over the tiles, so N=ns*nt output
+    columns cost one set of grid steps instead of ns.
+
+    With ``scale`` (a [1, N] per-lane dequant factor) Bg may be int8:
     values convert exactly to the W dtype for the dot and the fp32
     accumulator is rescaled in the epilogue."""
-    nt = Bg.shape[1]
+    bgs = tuple(Bg) if isinstance(Bg, (tuple, list)) else (Bg,)
+    ns = len(bgs)
+    nt = bgs[0].shape[1]
+    N = ns * nt
     ntiles = M // R
     scaled = scale is not None
-    kern = functools.partial(_dedup_kernel, R=R, C=C, nt=nt, scaled=scaled)
-    in_specs = [pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY)]
-    operands = [tptr, W, Bg]
+    kern = functools.partial(_dedup_kernel, R=R, C=C, nt=nt, ns=ns,
+                             scaled=scaled)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * (1 + ns)
+    operands = [tptr, W, *bgs]
     if scaled:
-        in_specs.append(pl.BlockSpec((1, nt), lambda t, *_: (0, 0)))
+        in_specs.append(pl.BlockSpec((1, N), lambda t, *_: (0, 0)))
         operands.append(scale)
     return pl.pallas_call(
         kern,
@@ -359,23 +384,23 @@ def dedup_combine(tptr, W, Bg, M, R=128, C=2048, interpret=False,
             num_scalar_prefetch=1,
             grid=(ntiles,),
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((R, nt), lambda t, *_: (t, 0)),
+            out_specs=pl.BlockSpec((R, N), lambda t, *_: (t, 0)),
             scratch_shapes=[
                 pltpu.VMEM((2, C, R), W.dtype),
-                pltpu.VMEM((2, C, nt), Bg.dtype),
-                pltpu.VMEM((R, nt), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((2, C, N), bgs[0].dtype),
+                pltpu.VMEM((R, N), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 1 + ns)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((M, nt), W.dtype),
+        out_shape=jax.ShapeDtypeStruct((M, N), W.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * W.shape[0] * R * nt,
+            flops=2 * W.shape[0] * R * N,
             bytes_accessed=W.shape[0] * (R * W.dtype.itemsize
-                                         + nt * Bg.dtype.itemsize)
-            + M * nt * Bg.dtype.itemsize,
+                                         + N * bgs[0].dtype.itemsize)
+            + M * N * bgs[0].dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret or jax.default_backend() == "cpu",
@@ -448,7 +473,7 @@ def _dedup_spmm(dev: DedupDevice, B: jax.Array,
                 b_int8: bool = False) -> jax.Array:
     nt = _pick_slab(B.shape[1])
     Mpad = dev.padded_rows
-    outs = []
+    bgs, scales = [], []
     for s in range(B.shape[1] // nt):
         bs = jax.lax.slice_in_dim(B, s * nt, (s + 1) * nt, axis=1)
         if b_int8:
@@ -458,15 +483,18 @@ def _dedup_spmm(dev: DedupDevice, B: jax.Array,
                            keepdims=True)
             scale = jnp.where(amax > 0, amax, 1.0) / 127.0
             bq = jnp.round(bs.astype(jnp.float32) / scale).astype(jnp.int8)
-            Bg = bq[dev.gidx]
-            outs.append(dedup_combine(dev.tptr, dev.W, Bg, Mpad,
-                                      R=dev.tile_rows, C=dev.chunk,
-                                      scale=scale))
+            bgs.append(bq[dev.gidx])
+            scales.append(scale)
         else:
-            Bg = bs[dev.gidx].astype(dev.W.dtype)  # distinct rows only
-            outs.append(dedup_combine(dev.tptr, dev.W, Bg, Mpad,
-                                      R=dev.tile_rows, C=dev.chunk))
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+            bgs.append(bs[dev.gidx].astype(dev.W.dtype))  # distinct rows
+    scale = jnp.concatenate(scales, axis=1) if b_int8 else None
+    # one wide-N combine call: all slabs in a single grid pass, chunk
+    # sized down only as far as the VMEM budget requires
+    C = min(dev.chunk, _pick_chunk(dev.tile_rows, B.shape[1],
+                                   dev.W.dtype.itemsize,
+                                   bgs[0].dtype.itemsize))
+    out = dedup_combine(dev.tptr, dev.W, tuple(bgs), Mpad,
+                        R=dev.tile_rows, C=C, scale=scale)
     return out[: dev.rows].astype(B.dtype)
 
 
@@ -527,7 +555,8 @@ def dedup_model_s(n_uniq: int, n_rows: int, N: int, tile_rows: int = 128,
     # kernel streams W alongside; dots hide under the double-buffered DMA
     stream = slots * N * (itemsize + 2) / 819e9 \
         + slots * tile_rows * itemsize / 819e9
-    return gather + stream + ntiles * 2e-6 * max(N // 512, 1)
+    # wide-N combine: ONE grid pass regardless of the slab count
+    return gather + stream + ntiles * 2e-6
 
 
 # ---------------------------------------------------------------------------

@@ -145,6 +145,32 @@ def test_dedup_duplicate_coo_entries_sum():
     np.testing.assert_allclose(C[:, :10], m.multiply(np.eye(10, dtype=np.float32)))
 
 
+def test_dedup_spmm_wide_n_single_pass():
+    """N > 512 gathers per-slab but combines ALL slabs in one grid pass
+    (ns side-by-side VMEM lanes); result must match the per-slab math."""
+    m = rmat_csr(9, edge_factor=8, seed=7)
+    B = np.random.default_rng(4).standard_normal((m.cols, 1536)).astype(
+        np.float32)  # 3 slabs of 512
+    dev = DedupDevice.from_csr(m, dtype=jnp.float32, tile_rows=128,
+                               chunk=512)
+    C = np.asarray(dedup_spmm(dev, jnp.asarray(B)))
+    np.testing.assert_allclose(C, _dense_oracle(m, B), rtol=1e-3, atol=1e-3)
+
+
+def test_dedup_spmm_wide_n_int8():
+    """Wide-N with int8-gathered B: per-slab scales concatenate into one
+    [1, N] dequant row applied in the epilogue."""
+    m = rmat_csr(8, edge_factor=6, seed=9)
+    B = np.random.default_rng(5).standard_normal((m.cols, 1024)).astype(
+        np.float32)
+    dev = DedupDevice.from_csr(m, dtype=jnp.float32, tile_rows=128,
+                               chunk=512)
+    C = np.asarray(dedup_spmm(dev, jnp.asarray(B), b_int8=True), np.float32)
+    ref = _dense_oracle(m, B)
+    denom = np.abs(ref).max() + 1e-9
+    assert np.abs(C - ref).max() / denom < 2e-2
+
+
 def test_dedup_model_monotonic():
     a = dedup_model_s(10_000, 1000, 512)
     b = dedup_model_s(1_000_000, 1000, 512)
