@@ -314,7 +314,7 @@ def dedup_spmm_rowsharded(sdev: ShardedDedup, B: jax.Array,
     """C = A @ B through the dedup kernel with row tiles sharded and B
     replicated — no collectives; each chip runs the production Pallas
     combine on its resident slots."""
-    from ..ops.fine import _pick_slab, dedup_combine
+    from ..ops.fine import _pick_chunk, _pick_slab, dedup_combine
 
     R, C = sdev.tile_rows, sdev.chunk
     ntl = sdev.tptr.shape[1] - 1
@@ -323,12 +323,15 @@ def dedup_spmm_rowsharded(sdev: ShardedDedup, B: jax.Array,
     def local(gidx, W, tptr, b):
         gidx, W, tptr = gidx[0], W[0], tptr[0]
         nt = _pick_slab(b.shape[1])
-        outs = []
-        for s in range(b.shape[1] // nt):
-            bs = jax.lax.slice_in_dim(b, s * nt, (s + 1) * nt, axis=1)
-            Bg = bs[gidx].astype(W.dtype)
-            outs.append(dedup_combine(tptr, W, Bg, Mloc, R=R, C=C))
-        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        # gather per slab (<=1 KB-row sweet spot), combine ALL slabs in
+        # one grid pass — same wide-N shape as ops.fine._dedup_spmm
+        bgs = tuple(
+            jax.lax.slice_in_dim(b, s * nt, (s + 1) * nt, axis=1)[
+                gidx].astype(W.dtype)
+            for s in range(b.shape[1] // nt))
+        Cc = min(C, _pick_chunk(R, b.shape[1], W.dtype.itemsize,
+                                W.dtype.itemsize))
+        out = dedup_combine(tptr, W, bgs, Mloc, R=R, C=Cc)
         return out.astype(b.dtype)
 
     full = shard_map(

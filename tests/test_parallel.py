@@ -220,9 +220,10 @@ def test_dedup_spmm_rowsharded_matches_oracle():
     m = rmat_csr(10, edge_factor=6, seed=3)
     mesh = make_mesh(8)
     sdev = shard_dedup_rowwise(m, mesh, dtype=jnp.float32, chunk=512)
-    B = jnp.asarray(
-        np.random.default_rng(0).standard_normal((m.cols, 256)).astype(
-            np.float32))
-    C = np.asarray(dedup_spmm_rowsharded(sdev, B, mesh))
-    ref = np.asarray(m.to_scipy() @ np.asarray(B))
-    np.testing.assert_allclose(C, ref, rtol=1e-4, atol=1e-4)
+    for N in (256, 1024):  # single slab, and wide-N (2 slabs, one pass)
+        B = jnp.asarray(
+            np.random.default_rng(0).standard_normal((m.cols, N)).astype(
+                np.float32))
+        C = np.asarray(dedup_spmm_rowsharded(sdev, B, mesh))
+        ref = np.asarray(m.to_scipy() @ np.asarray(B))
+        np.testing.assert_allclose(C, ref, rtol=1e-4, atol=1e-4)
