@@ -234,18 +234,19 @@ def test_dedup_spmm_ad_grad_matches_dense():
     m = rmat_csr(8, edge_factor=6, seed=2)
     dev, devT = dedup_pair_from_csr(m, dtype=jnp.float32, chunk=512)
     rng = np.random.default_rng(0)
-    B = jnp.asarray(rng.standard_normal((m.cols, 128)).astype(np.float32))
-    T = jnp.asarray(rng.standard_normal((m.rows, 128)).astype(np.float32))
+    for N in (128, 1024):  # single slab and wide-N (one-pass combine)
+        B = jnp.asarray(rng.standard_normal((m.cols, N)).astype(np.float32))
+        T = jnp.asarray(rng.standard_normal((m.rows, N)).astype(np.float32))
 
-    def loss(b):
-        return jnp.sum(dedup_spmm_ad(dev, devT, b) * T)
+        def loss(b):
+            return jnp.sum(dedup_spmm_ad(dev, devT, b) * T)
 
-    g = np.asarray(jax.grad(loss)(B))
-    A = m.to_dense()
-    g_ref = A.T @ np.asarray(T)
-    np.testing.assert_allclose(g, g_ref, rtol=1e-4, atol=1e-4)
-    v_ref = float((A @ np.asarray(B) * np.asarray(T)).sum())
-    assert abs(float(loss(B)) - v_ref) / abs(v_ref) < 1e-4
+        g = np.asarray(jax.grad(loss)(B))
+        A = m.to_dense()
+        g_ref = A.T @ np.asarray(T)
+        np.testing.assert_allclose(g, g_ref, rtol=1e-4, atol=1e-4)
+        v_ref = float((A @ np.asarray(B) * np.asarray(T)).sum())
+        assert abs(float(loss(B)) - v_ref) / abs(v_ref) < 1e-4
 
 
 def test_gcn_fine_adjacency_trains():
