@@ -135,9 +135,13 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
     from ..formats.bell import bell_from_csr
     from .fine import (
         DedupDevice,
+        FellDevice,
         FineDevice,
+        choose_width,
         dedup_model_s,
         dedup_spmm,
+        fell_model_s,
+        fell_spmm,
         fine_model_s,
         fine_spmm,
     )
@@ -163,12 +167,17 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
     rows_r = np.repeat(np.arange(M, dtype=np.int64) >> 7, cmat.row_nnz)
     n_uniq = np.unique(rows_r * np.int64(K) + cmat.indices).size
     t_dedup = dedup_model_s(n_uniq, M, Np, itemsize=itemsize)
+    fell_w = choose_width(cmat.row_nnz, K, itemsize)
+    t_fell = fell_model_s(cmat.row_nnz, fell_w, Np, itemsize=itemsize)
 
-    best = min(t_dense, t_natbell, t_fine, t_dedup)
-    if best in (t_fine, t_dedup):
+    best = min(t_dense, t_natbell, t_fine, t_dedup, t_fell)
+    if best in (t_fine, t_dedup, t_fell):
         if best == t_dedup:
             dev = DedupDevice.from_csr(cmat, dtype=dtype)
             run, sub = dedup_spmm, "dedup"
+        elif best == t_fell:
+            dev = FellDevice.from_csr(cmat, width=fell_w, dtype=dtype)
+            run, sub = fell_spmm, "fell"
         else:
             dev = FineDevice.from_csr(cmat, dtype=dtype)
             run, sub = fine_spmm, "mask"
