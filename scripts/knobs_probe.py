@@ -152,7 +152,14 @@ def main():
     ap.add_argument("--out", default="results/knobs_probe.json")
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # sitecustomize registers the axon backend and ignores the env
+        # var; re-assert before any backend init (CLAUDE.md gotcha)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -232,6 +239,37 @@ def main():
                      lambda b, c=cp2, ch=ch2:
                      bell_spmm_pallas_compact_unrolled(c, b, tn=512, chunk=ch),
                      B, flops, ref)
+
+    # --- paired-structure section: the verdict's actual hypothesis is
+    # "halve the BLOCK COUNT at the same FLOPs".  On the 128-planted
+    # headline matrix a 256 re-tile does NOT do that (random blocks don't
+    # pair: ~0.96x blocks at 2x width = ~1.92x FLOPs).  Plant 256-wide
+    # blocks instead: the 128-tiling has exactly 2x the blocks at half
+    # width — identical FLOPs, so bw256-vs-bw128 isolates the grid-step
+    # scalar cost the model says dominates.
+    n2 = 2048 if args.quick else 10240
+    m2 = random_block_csr(n2, n2, block=256, block_density=0.08,
+                          intra_density=0.13, seed=11, shuffle_rows=False)
+    log(f"\npaired matrix: {n2}x{n2} nnz={m2.nnz} (256-planted, natural)")
+    for bw in (128, 256):
+        bell = bell_from_csr(m2, None, block_row_size=128,
+                             block_col_size=bw)
+        chunk = compact_auto_chunk(bell.nb_row)
+        cpad = compact_from_host_padded(bell, chunk, dtype=dtype)
+        B = jnp.asarray(
+            np.random.default_rng(1).standard_normal((bell.shape[1], N)),
+            dtype=dtype)
+        flops = 2 * bell.total_nzblocks * 128 * bw * N
+        log(f"paired bw={bw}: nzblocks={bell.total_nzblocks} chunk={chunk}")
+        out[f"paired_bw{bw}_blocks"] = int(bell.total_nzblocks)
+        dev = BellDevice.from_host(bell, dtype=dtype)
+        ref = np.asarray(bell_spmm_xla(dev, B)).astype(np.float32)
+        cell(f"paired unrolled bw={bw}",
+             lambda b, c=cpad, ch=chunk: bell_spmm_pallas_compact_unrolled(
+                 c, b, tn=512, chunk=ch), B, flops, ref)
+        cell(f"paired dbout bw={bw}",
+             lambda b, c=cpad, ch=chunk: dbout(c, b, tn=512, chunk=ch),
+             B, flops, ref)
 
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     Path(args.out).write_text(json.dumps(out, indent=1))
