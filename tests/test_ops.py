@@ -113,6 +113,19 @@ def test_csr_baselines(problem):
     np.testing.assert_allclose(np.asarray(C2), C_ref, rtol=1e-4, atol=1e-4)
 
 
+def test_bcoo_spmm_wide_scan_under_jit(problem):
+    """B wider than the slab limit runs slabs under lax.scan so a jitted
+    caller traces ONE slab-sized scatter program (the remote-compile 500
+    workaround must survive outer jit)."""
+    m, bell, B, C_ref = problem
+    A = csr_to_bcoo(m)
+    Bw = jnp.asarray(np.tile(B, (1, max(1024 // B.shape[1], 2))))
+    caller = jax.jit(lambda b: bcoo_spmm(A, b, max_cols=B.shape[1]) * 1.0)
+    Cw = np.asarray(caller(Bw))
+    ref = np.asarray(m.to_scipy() @ np.asarray(Bw))
+    np.testing.assert_allclose(Cw, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_dense_baseline(problem):
     m, bell, B, C_ref = problem
     C = dense_matmul(jnp.asarray(m.to_dense()), jnp.asarray(B))
