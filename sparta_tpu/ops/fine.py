@@ -94,6 +94,26 @@ def _pick_slab(N: int) -> int:
     raise ValueError(f"N={N} must be a multiple of 128")
 
 
+# Large-S gather mitigation: when a gather's index count exceeds the
+# ~300k-row knee where the measured rate cliffs from 223 to ~90 GB/s,
+# split it into this many rows per piece (None = single whole gather).
+# Calibrated by scripts/fine_probe2.py cell A on real hardware; flip to
+# 1 << 18 if chunked pieces recover the small-S rate.
+GATHER_CHUNK_ROWS: int | None = None
+
+
+def _take_rows(b: jax.Array, idx: jax.Array) -> jax.Array:
+    """b[idx], split into GATHER_CHUNK_ROWS-sized index pieces when the
+    large-S mitigation is on (each piece rides the small-S gather rate)."""
+    S = idx.shape[0]
+    cs = GATHER_CHUNK_ROWS
+    if not cs or S <= cs:
+        return b[idx]
+    pieces = [b[jax.lax.slice_in_dim(idx, i, min(i + cs, S))]
+              for i in range(0, S, cs)]
+    return jnp.concatenate(pieces, axis=0)
+
+
 # ---------------------------------------------------------------------------
 # mask-matmul combine (Pallas)
 # ---------------------------------------------------------------------------
@@ -237,7 +257,8 @@ def _fine_spmm(dev: FineDevice, B: jax.Array) -> jax.Array:
     for s in range(B.shape[1] // nt):
         bs = jax.lax.slice_in_dim(B, s * nt, (s + 1) * nt, axis=1)
         # fused gather+scale: the only random access, at the slab sweet spot
-        contrib = dev.vals[:, None] * bs[dev.cols].astype(dev.vals.dtype)
+        contrib = dev.vals[:, None] * _take_rows(
+            bs, dev.cols).astype(dev.vals.dtype)
         outs.append(mask_combine(dev.tptr, dev.rows2d, contrib, Mpad,
                                  R=dev.tile_rows, C=dev.chunk))
     out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
@@ -483,10 +504,11 @@ def _dedup_spmm(dev: DedupDevice, B: jax.Array,
                            keepdims=True)
             scale = jnp.where(amax > 0, amax, 1.0) / 127.0
             bq = jnp.round(bs.astype(jnp.float32) / scale).astype(jnp.int8)
-            bgs.append(bq[dev.gidx])
+            bgs.append(_take_rows(bq, dev.gidx))
             scales.append(scale)
         else:
-            bgs.append(bs[dev.gidx].astype(dev.W.dtype))  # distinct rows
+            bgs.append(_take_rows(bs, dev.gidx).astype(
+                dev.W.dtype))  # distinct rows
     scale = jnp.concatenate(scales, axis=1) if b_int8 else None
     # one wide-N combine call: all slabs in a single grid pass, chunk
     # sized down only as far as the VMEM budget requires

@@ -274,3 +274,24 @@ def test_gcn_fine_adjacency_trains():
         if first is None:
             first = float(loss)
     assert float(loss) < first * 0.8
+
+
+def test_gather_chunking_matches_whole(monkeypatch):
+    """GATHER_CHUNK_ROWS splits large-S gathers into pieces; results must
+    be bit-identical to the whole gather (fine_probe2 calibrates whether
+    the pieces ride the small-S rate)."""
+    from sparta_tpu.ops import fine as fine_mod
+
+    m = rmat_csr(9, edge_factor=7, seed=13)
+    B = np.random.default_rng(8).standard_normal((m.cols, 384)).astype(
+        np.float32)
+    monkeypatch.setattr(fine_mod, "GATHER_CHUNK_ROWS", 1000)
+    dev = DedupDevice.from_csr(m, dtype=jnp.float32, tile_rows=128,
+                               chunk=512)
+    assert dev.n_slots > 1000  # the chunked path must actually engage
+    C = np.asarray(dedup_spmm(dev, jnp.asarray(B)))
+    np.testing.assert_allclose(C, _dense_oracle(m, B), rtol=1e-3, atol=1e-3)
+    fdev = fine_mod.FineDevice.from_csr(m, dtype=jnp.float32, tile_rows=128,
+                                        chunk=512)
+    Cf = np.asarray(fine_mod.fine_spmm(fdev, jnp.asarray(B)))
+    np.testing.assert_allclose(Cf, _dense_oracle(m, B), rtol=1e-3, atol=1e-3)
