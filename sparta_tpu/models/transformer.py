@@ -34,6 +34,11 @@ class TransformerConfig:
     block: int = 128
     ffn_block_density: float = 0.15   # 85% block-sparse FFN
     dtype: str = "float32"
+    # attention pattern: "dense" (full causal) or "local" (block-sparse
+    # causal local window + global key blocks, ops/attention.py)
+    attention: str = "dense"
+    attn_window: int = 2              # local: +-(window-1) key tiles
+    attn_global_blocks: int = 1       # local: first g key tiles global
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,11 +111,27 @@ class BlockSparseTransformer:
         h = cfg.n_heads
         qkv = dense_apply(lp["qkv"], x).reshape(b, s, 3, h, d // h)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d // h)
-        mask = jnp.tril(jnp.ones((s, s), dtype=bool))
-        logits = jnp.where(mask, logits, -1e30)
-        att = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, s, d)
+        if cfg.attention == "local":
+            from ..ops.attention import block_sparse_attention, build_block_mask
+
+            # pad seq to a block multiple: the pattern is causal, so real
+            # queries (index < s) can never see the padded keys (>= s)
+            sp = -(-s // cfg.block) * cfg.block
+            mask = build_block_mask(
+                sp, sp, cfg.block, window=cfg.attn_window, causal=True,
+                global_blocks=cfg.attn_global_blocks)
+            qh, kh, vh = (
+                jnp.pad(t.swapaxes(1, 2), ((0, 0), (0, 0), (0, sp - s),
+                                           (0, 0)))
+                for t in (q, k, v))  # [b, h, sp, d]
+            out = block_sparse_attention(qh, kh, vh, mask)
+            out = out[:, :, :s].swapaxes(1, 2).reshape(b, s, d)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(d // h)
+            mask = jnp.tril(jnp.ones((s, s), dtype=bool))
+            logits = jnp.where(mask, logits, -1e30)
+            att = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, s, d)
         return dense_apply(lp["proj"], out)
 
     def param_count(self, params) -> int:

@@ -1,0 +1,133 @@
+"""Block-sparse attention vs the dense-masked oracle.
+
+New TPU-native capability beyond the reference (its transformer story is
+pruned FFN weights only); built on the same 128-block structure as the
+SpMM family."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparta_tpu.ops.attention import (
+    BlockMask,
+    block_sparse_attention,
+    build_block_mask,
+    dense_mask_from_block_mask,
+)
+
+
+def _dense_attention(q, k, v, mask_bool, scale):
+    s = (q @ k.swapaxes(-1, -2)) * scale
+    s = np.where(mask_bool, s, -np.inf)
+    s = s - s.max(axis=-1, keepdims=True)
+    p = np.exp(s)
+    denom = p.sum(axis=-1, keepdims=True)
+    p = np.divide(p, denom, out=np.zeros_like(p), where=denom > 0)
+    return p @ v
+
+
+def _qkv(rng, shape):
+    return tuple(rng.standard_normal(shape).astype(np.float32)
+                 for _ in range(3))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_bsa_local_window_matches_dense(causal):
+    T, D, block = 512, 64, 128
+    mask = build_block_mask(T, T, block, window=2, causal=causal)
+    assert 0 < mask.density < 1
+    rng = np.random.default_rng(0)
+    q, k, v = _qkv(rng, (T, D))
+    out = np.asarray(block_sparse_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mask))
+    ref = _dense_attention(q, k, v, dense_mask_from_block_mask(mask),
+                           1.0 / np.sqrt(D))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_bsa_dense_pattern_equals_full_attention():
+    """window=None covers every block: must equal unmasked attention."""
+    T, D = 256, 32
+    mask = build_block_mask(T, T, 128)
+    rng = np.random.default_rng(1)
+    q, k, v = _qkv(rng, (T, D))
+    out = np.asarray(block_sparse_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mask))
+    ref = _dense_attention(q, k, v, np.ones((T, T), bool), 1.0 / np.sqrt(D))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_bsa_global_blocks_and_batch_heads():
+    """[B, H, T, D] operands vmap over leading dims; global key blocks are
+    visible to every query row."""
+    B, H, T, D, block = 2, 3, 384, 32, 128
+    mask = build_block_mask(T, T, block, window=1, causal=True,
+                            global_blocks=1)
+    # global column present for every block-row
+    assert all(any(b == i and c == 0 for b, c in zip(mask.br, mask.bc))
+               for i in range(mask.nbr))
+    rng = np.random.default_rng(2)
+    q, k, v = _qkv(rng, (B, H, T, D))
+    out = np.asarray(block_sparse_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mask))
+    ref = _dense_attention(q, k, v, dense_mask_from_block_mask(mask),
+                           1.0 / np.sqrt(D))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_bsa_rectangular_cross_attention():
+    """T_q != T_k (cross attention over a block pattern)."""
+    Tq, Tk, D = 256, 512, 64
+    mask = build_block_mask(Tq, Tk, 128, window=None)
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((Tq, D)).astype(np.float32)
+    k = rng.standard_normal((Tk, D)).astype(np.float32)
+    v = rng.standard_normal((Tk, D)).astype(np.float32)
+    out = np.asarray(block_sparse_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mask))
+    ref = _dense_attention(q, k, v, np.ones((Tq, Tk), bool),
+                           1.0 / np.sqrt(D))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_bsa_differentiable():
+    """Gradients flow through the segment softmax to q, k, v."""
+    T, D = 256, 32
+    mask = build_block_mask(T, T, 128, window=1, causal=True)
+    rng = np.random.default_rng(4)
+    q, k, v = (jnp.asarray(x) for x in _qkv(rng, (T, D)))
+
+    def loss(q, k, v):
+        return jnp.sum(block_sparse_attention(q, k, v, mask) ** 2)
+
+    gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in (gq, gk, gv):
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0
+    # numeric check on a single coordinate
+    eps = 1e-3
+    e = jnp.zeros_like(q).at[3, 5].set(eps)
+    num = (loss(q + e, k, v) - loss(q - e, k, v)) / (2 * eps)
+    assert abs(float(num) - float(gq[3, 5])) < 5e-2 * max(
+        1.0, abs(float(num)))
+
+
+def test_bsa_compute_scales_with_blocks():
+    """The SDD really is sampled: block count grows linearly with window,
+    not quadratically with T."""
+    T = 1024
+    m1 = build_block_mask(T, T, 128, window=1, causal=True)
+    m2 = build_block_mask(T, T, 128, window=2, causal=True)
+    assert m1.n_blocks == T // 128
+    assert m2.n_blocks == 2 * (T // 128) - 1
+    full = build_block_mask(T, T, 128)
+    assert full.n_blocks == (T // 128) ** 2
+
+
+def test_bsa_shape_validation():
+    mask = build_block_mask(256, 256, 128)
+    q = jnp.zeros((384, 32))
+    with pytest.raises(ValueError):
+        block_sparse_attention(q, q, q, mask)
+    with pytest.raises(ValueError):
+        build_block_mask(200, 256, 128)
