@@ -393,13 +393,29 @@ def run_experiment(cfg) -> dict:
         # (VERDICT r2 #4; reference type-switch family,
         # cuda_utilities.cpp:24-32)
         import dataclasses as _dc
+        import re as _re
 
         cfg32 = _dc.replace(cfg, dtype="float32", outfile="")
-        fn32, _, _, _ = make_backend(cfg32, m, engine)
-        ref = np.asarray(fn32(B.astype(jnp.float32)), np.float32)
+        # csr_spmm_auto's cost model is dtype-aware, so the fp32 rebuild
+        # could pick a DIFFERENT family with a different B layout; pin the
+        # family the quantized run resolved to (mask -> --csr-impl fine)
+        fam = _re.search(r"csr_auto_fine\[(\w+)\]", backend_name)
+        if fam:
+            cfg32 = _dc.replace(
+                cfg32, csr_impl={"mask": "fine"}.get(fam.group(1),
+                                                     fam.group(1)))
+        fn32, shape32, _, _ = make_backend(cfg32, m, engine)
+        Bq = np.asarray(B, np.float32)
+        B32 = np.zeros(shape32, np.float32)
+        B32[: min(shape32[0], Bq.shape[0]),
+            : min(shape32[1], Bq.shape[1])] = Bq[: shape32[0], : shape32[1]]
+        ref = np.asarray(fn32(jnp.asarray(B32)), np.float32)
         got = np.asarray(fn(B), np.float32)
+        nr = min(got.shape[0], ref.shape[0], m.rows)
+        nc = min(got.shape[1], ref.shape[1])
         row["rel_err"] = float(
-            np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9))
+            np.abs(got[:nr, :nc] - ref[:nr, :nc]).max()
+            / (np.abs(ref[:nr, :nc]).max() + 1e-9))
 
     if cfg.outfile:
         save_csv(cfg.outfile, row)

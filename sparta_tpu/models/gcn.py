@@ -204,6 +204,12 @@ def make_sharded_gcn_apply(model: GCN, mesh):
 
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
+    if model.adj_vals is None:
+        raise ValueError(
+            "make_sharded_gcn_apply needs a blocked adjacency; this GCN "
+            "was built with adjacency='fine' (dedup devices). Shard it "
+            "with parallel.shard_dedup_rowwise + dedup_spmm_rowsharded "
+            "instead.")
     nbr, max_nb, bh, bw = model.adj_vals.shape
     if nbr % n_dev:
         raise ValueError(

@@ -177,12 +177,20 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
     t_natbell = 2 * nzb * 128 * 128 * Np / _NATBELL_TPS
     itemsize = jnp.dtype(dtype).itemsize
     t_fine = fine_model_s(cmat.nnz, M, Np, itemsize=itemsize)
-    # distinct (128-row-tile, column) pairs — the dedup gather count
-    rows_r = np.repeat(np.arange(M, dtype=np.int64) >> 7, cmat.row_nnz)
-    n_uniq = np.unique(rows_r * np.int64(K) + cmat.indices).size
-    t_dedup = dedup_model_s(n_uniq, M, Np, itemsize=itemsize)
     fell_w = choose_width(cmat.row_nnz, K, itemsize)
     t_fell = fell_model_s(cmat.row_nnz, fell_w, Np, itemsize=itemsize)
+    # the dedup candidate needs the distinct (128-row-tile, column) pair
+    # count — an O(nnz log nnz) host sort.  Price it lazily: n_uniq >=
+    # nnz/128 (at most 128 tile rows share a column), so if even that
+    # best case loses to a cheap candidate, skip the sort entirely.
+    t_dedup_lb = dedup_model_s(max(cmat.nnz // 128, 1), M, Np,
+                               itemsize=itemsize)
+    if t_dedup_lb < min(t_dense, t_natbell, t_fine, t_fell):
+        rows_r = np.repeat(np.arange(M, dtype=np.int64) >> 7, cmat.row_nnz)
+        n_uniq = np.unique(rows_r * np.int64(K) + cmat.indices).size
+        t_dedup = dedup_model_s(n_uniq, M, Np, itemsize=itemsize)
+    else:
+        t_dedup = float("inf")
 
     best = min(t_dense, t_natbell, t_fine, t_dedup, t_fell)
     if best in (t_fine, t_dedup, t_fell):

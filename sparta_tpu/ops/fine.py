@@ -98,15 +98,17 @@ def _pick_slab(N: int) -> int:
 # ~300k-row knee where the measured rate cliffs from 223 to ~90 GB/s,
 # split it into this many rows per piece (None = single whole gather).
 # Calibrated by scripts/fine_probe2.py cell A on real hardware; flip to
-# 1 << 18 if chunked pieces recover the small-S rate.
+# 1 << 18 if chunked pieces recover the small-S rate.  The wrappers pass
+# the current value into their jitted cores as a STATIC argument, so a
+# runtime flip retraces instead of being silently ignored by the cache.
 GATHER_CHUNK_ROWS: int | None = None
 
 
-def _take_rows(b: jax.Array, idx: jax.Array) -> jax.Array:
-    """b[idx], split into GATHER_CHUNK_ROWS-sized index pieces when the
-    large-S mitigation is on (each piece rides the small-S gather rate)."""
+def _take_rows(b: jax.Array, idx: jax.Array,
+               cs: int | None) -> jax.Array:
+    """b[idx], split into ``cs``-sized index pieces when the large-S
+    mitigation is on (each piece rides the small-S gather rate)."""
     S = idx.shape[0]
-    cs = GATHER_CHUNK_ROWS
     if not cs or S <= cs:
         return b[idx]
     pieces = [b[jax.lax.slice_in_dim(idx, i, min(i + cs, S))]
@@ -118,15 +120,18 @@ def _take_rows(b: jax.Array, idx: jax.Array) -> jax.Array:
 # mask-matmul combine (Pallas)
 # ---------------------------------------------------------------------------
 
-def _combine_kernel(tptr_ref, rows_hbm, contrib_hbm, out_ref,
-                    cbuf, rbuf, acc_ref, sems, *, R, C, nt):
+def _combine_kernel(tptr_ref, rows_hbm, *rest, R, C, nt, ns):
     """Reduce CSR-ordered slot contributions onto one R-row output tile.
 
     Slots stream sequentially (the layout guarantees this tile's slots are
     contiguous and 128-aligned); each C-slot block is reduced with ONE MXU
     matmul against a one-hot mask built from the slot-row ids. Overrunning
     reads hit the next tile's slots or dead padding — their row ids fall
-    outside [t*R, (t+1)*R) so the mask zeroes them."""
+    outside [t*R, (t+1)*R) so the mask zeroes them.  ``ns`` contribution
+    slabs land side by side in one VMEM buffer, so the whole output width
+    costs ONE grid pass (same wide-N shape as the dedup combine)."""
+    contrib_hbms, rest = rest[:ns], rest[ns:]
+    out_ref, cbuf, rbuf, acc_ref, sems = rest
     t = pl.program_id(0)
     start = tptr_ref[t]
     n = tptr_ref[t + 1] - start
@@ -136,13 +141,16 @@ def _combine_kernel(tptr_ref, rows_hbm, contrib_hbm, out_ref,
 
     def body(c, _):
         off = start + c * C
-        cp = pltpu.make_async_copy(
-            contrib_hbm.at[pl.ds(off, C)], cbuf, sems.at[0])
+        cps = [pltpu.make_async_copy(
+            contrib_hbms[k].at[pl.ds(off, C)],
+            cbuf.at[:, pl.ds(k * nt, nt)], sems.at[k]) for k in range(ns)]
         rp = pltpu.make_async_copy(
-            rows_hbm.at[:, pl.ds(off, C)], rbuf, sems.at[1])
-        cp.start()
+            rows_hbm.at[:, pl.ds(off, C)], rbuf, sems.at[ns])
+        for cp in cps:
+            cp.start()
         rp.start()
-        cp.wait()
+        for cp in cps:
+            cp.wait()
         rp.wait()
         mask = (rbuf[...] == base).astype(cbuf.dtype)
         acc_ref[...] += jax.lax.dot(
@@ -153,43 +161,57 @@ def _combine_kernel(tptr_ref, rows_hbm, contrib_hbm, out_ref,
     out_ref[...] = acc_ref[...].astype(out_ref.dtype)
 
 
+def _pick_combine_chunk(R, N, csize, budget=12 * 2**20):
+    """Largest combine chunk keeping VMEM residency under budget: the
+    [C, N] contribution buffer, the fp32 accumulator and the out block."""
+    for C in (2048, 1024, 512, 256):
+        if C * N * csize + R * N * (4 + csize) <= budget:
+            return C
+    return 128
+
+
 @functools.partial(jax.jit, static_argnames=("M", "R", "C", "interpret"))
 def mask_combine(tptr, rows2d, contribs, M, R=256, C=2048,
                  interpret=False):
-    """[Spad, nt] CSR-ordered contributions -> [M, nt] row sums.
+    """CSR-ordered contributions -> [M, N] row sums.
 
-    ``tptr``/``rows2d`` from ``tile_aligned_layout`` (row ids -1 on dead
-    slots); M must be a multiple of R."""
-    nt = contribs.shape[1]
+    ``contribs`` is one [Spad, nt] slab or a tuple of ``ns`` of them
+    (side-by-side lanes, one grid pass).  ``tptr``/``rows2d`` from
+    ``tile_aligned_layout`` (row ids -1 on dead slots); M must be a
+    multiple of R."""
+    cts = tuple(contribs) if isinstance(contribs, (tuple, list)) \
+        else (contribs,)
+    ns = len(cts)
+    nt = cts[0].shape[1]
+    N = ns * nt
     ntiles = M // R
-    kern = functools.partial(_combine_kernel, R=R, C=C, nt=nt)
+    kern = functools.partial(_combine_kernel, R=R, C=C, nt=nt, ns=ns)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(ntiles,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((R, nt), lambda t, *_: (t, 0)),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + ns),
+            out_specs=pl.BlockSpec((R, N), lambda t, *_: (t, 0)),
             scratch_shapes=[
-                pltpu.VMEM((C, nt), contribs.dtype),
+                pltpu.VMEM((C, N), cts[0].dtype),
                 pltpu.VMEM((1, C), jnp.int32),
-                pltpu.VMEM((R, nt), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((R, N), jnp.float32),
+                pltpu.SemaphoreType.DMA((1 + ns,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((M, nt), contribs.dtype),
+        out_shape=jax.ShapeDtypeStruct((M, N), cts[0].dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * ntiles * R * C * nt,
-            bytes_accessed=contribs.shape[0] * nt
-            * contribs.dtype.itemsize + M * nt * contribs.dtype.itemsize,
+            flops=2 * ntiles * R * C * N,
+            bytes_accessed=cts[0].shape[0] * N
+            * cts[0].dtype.itemsize + M * N * cts[0].dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret or jax.default_backend() == "cpu",
-    )(tptr, rows2d, contribs)
+    )(tptr, rows2d, *cts)
 
 
 # ---------------------------------------------------------------------------
@@ -249,26 +271,29 @@ class FineDevice:
         )
 
 
-@jax.jit
-def _fine_spmm(dev: FineDevice, B: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("gchunk",))
+def _fine_spmm(dev: FineDevice, B: jax.Array,
+               gchunk: int | None = None) -> jax.Array:
     nt = _pick_slab(B.shape[1])
     Mpad = dev.padded_rows
-    outs = []
+    contribs = []
     for s in range(B.shape[1] // nt):
         bs = jax.lax.slice_in_dim(B, s * nt, (s + 1) * nt, axis=1)
         # fused gather+scale: the only random access, at the slab sweet spot
-        contrib = dev.vals[:, None] * _take_rows(
-            bs, dev.cols).astype(dev.vals.dtype)
-        outs.append(mask_combine(dev.tptr, dev.rows2d, contrib, Mpad,
-                                 R=dev.tile_rows, C=dev.chunk))
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        contribs.append(dev.vals[:, None] * _take_rows(
+            bs, dev.cols, gchunk).astype(dev.vals.dtype))
+    # one wide-N combine: all slabs in a single grid pass
+    C = min(dev.chunk, _pick_combine_chunk(
+        dev.tile_rows, B.shape[1], contribs[0].dtype.itemsize))
+    out = mask_combine(dev.tptr, dev.rows2d, tuple(contribs), Mpad,
+                       R=dev.tile_rows, C=C)
     return out[: dev.rows].astype(B.dtype)
 
 
 def fine_spmm(dev: FineDevice, B: jax.Array) -> jax.Array:
     """C = A @ B for a FineDevice-packed A.  B [K, N] (N a multiple of
     128); returns [rows, N]."""
-    return _fine_spmm(dev, B)
+    return _fine_spmm(dev, B, gchunk=GATHER_CHUNK_ROWS)
 
 
 def fine_model_s(nnz: int, n_rows: int, N: int, tile_rows: int = 256,
@@ -489,9 +514,10 @@ class DedupDevice:
         )
 
 
-@functools.partial(jax.jit, static_argnames=("b_int8",))
+@functools.partial(jax.jit, static_argnames=("b_int8", "gchunk"))
 def _dedup_spmm(dev: DedupDevice, B: jax.Array,
-                b_int8: bool = False) -> jax.Array:
+                b_int8: bool = False,
+                gchunk: int | None = None) -> jax.Array:
     nt = _pick_slab(B.shape[1])
     Mpad = dev.padded_rows
     bgs, scales = [], []
@@ -504,10 +530,10 @@ def _dedup_spmm(dev: DedupDevice, B: jax.Array,
                            keepdims=True)
             scale = jnp.where(amax > 0, amax, 1.0) / 127.0
             bq = jnp.round(bs.astype(jnp.float32) / scale).astype(jnp.int8)
-            bgs.append(_take_rows(bq, dev.gidx))
+            bgs.append(_take_rows(bq, dev.gidx, gchunk))
             scales.append(scale)
         else:
-            bgs.append(_take_rows(bs, dev.gidx).astype(
+            bgs.append(_take_rows(bs, dev.gidx, gchunk).astype(
                 dev.W.dtype))  # distinct rows
     scale = jnp.concatenate(scales, axis=1) if b_int8 else None
     # one wide-N combine call: all slabs in a single grid pass, chunk
@@ -525,7 +551,8 @@ def dedup_spmm(dev: DedupDevice, B: jax.Array,
     """C = A @ B for a DedupDevice-packed A.  B [K, N] (N a multiple of
     128); returns [rows, N].  ``b_int8`` gathers a per-lane int8
     quantization of B (half the gather traffic, ~1e-3 relative error)."""
-    return _dedup_spmm(dev, B, b_int8=b_int8)
+    return _dedup_spmm(dev, B, b_int8=b_int8,
+                       gchunk=GATHER_CHUNK_ROWS)
 
 
 def dedup_pair_from_csr(cmat: CSR, dtype=jnp.bfloat16, tile_rows: int = 128,
@@ -549,7 +576,7 @@ def dedup_spmm_ad(dev: DedupDevice, devT: DedupDevice,
     to B only; the sparse operand is static structure, as in a GCN
     adjacency).  ``devT`` packs A^T so the backward pass rides the same
     MXU combine: dB = A^T @ dC."""
-    return _dedup_spmm(dev, B)
+    return _dedup_spmm(dev, B, gchunk=GATHER_CHUNK_ROWS)
 
 
 def _dedup_ad_fwd(dev, devT, B):

@@ -314,11 +314,18 @@ def dedup_spmm_rowsharded(sdev: ShardedDedup, B: jax.Array,
     """C = A @ B through the dedup kernel with row tiles sharded and B
     replicated — no collectives; each chip runs the production Pallas
     combine on its resident slots."""
-    from ..ops.fine import _pick_chunk, _pick_slab, dedup_combine
+    from ..ops.fine import (
+        GATHER_CHUNK_ROWS,
+        _pick_chunk,
+        _pick_slab,
+        _take_rows,
+        dedup_combine,
+    )
 
     R, C = sdev.tile_rows, sdev.chunk
     ntl = sdev.tptr.shape[1] - 1
     Mloc = ntl * R
+    gchunk = GATHER_CHUNK_ROWS  # large-S mitigation applies per shard too
 
     def local(gidx, W, tptr, b):
         gidx, W, tptr = gidx[0], W[0], tptr[0]
@@ -326,8 +333,8 @@ def dedup_spmm_rowsharded(sdev: ShardedDedup, B: jax.Array,
         # gather per slab (<=1 KB-row sweet spot), combine ALL slabs in
         # one grid pass — same wide-N shape as ops.fine._dedup_spmm
         bgs = tuple(
-            jax.lax.slice_in_dim(b, s * nt, (s + 1) * nt, axis=1)[
-                gidx].astype(W.dtype)
+            _take_rows(jax.lax.slice_in_dim(b, s * nt, (s + 1) * nt, axis=1),
+                       gidx, gchunk).astype(W.dtype)
             for s in range(b.shape[1] // nt))
         Cc = min(C, _pick_chunk(R, b.shape[1], W.dtype.itemsize,
                                 W.dtype.itemsize))

@@ -263,3 +263,45 @@ def test_csr_impl_fine_family(tmp_path, impl):
     row = run_experiment(cfg)
     assert row["backend"] == f"csr_{impl}"
     assert row["avg_time_multiply"] > 0
+
+
+def test_quantized_csr_auto_rel_err_family_pinned(tmp_path, monkeypatch):
+    """-M 2 int8 with csr_impl=auto: the fp32 rel_err oracle must rebuild
+    the SAME csr family the quantized run resolved to, even when the
+    dtype-aware cost model would flip the pick at float32 (which can
+    change the expected B layout and crash, or silently compare across
+    executions)."""
+    from sparta_tpu.bench import runner as runner_mod
+    from sparta_tpu.bench.runner import run_experiment
+    from sparta_tpu.formats.csr import rmat_csr
+    from sparta_tpu.ops import csr_spmm as auto_mod
+
+    m = rmat_csr(10, edge_factor=4, seed=6)
+    path = tmp_path / "g.el"
+    m.save_to_edgelist(path)
+    # force the auto pick into the fine family so the pin is exercised
+    monkeypatch.setattr(auto_mod, "_DENSE_TPS", 1e9)
+    monkeypatch.setattr(auto_mod, "_NATBELL_TPS", 1e9)
+
+    picks = []
+    orig = runner_mod.make_backend
+
+    def spy(cfg, mm, engine):
+        out = orig(cfg, mm, engine)
+        picks.append((cfg.dtype, cfg.csr_impl, out[2]))
+        return out
+
+    monkeypatch.setattr(runner_mod, "make_backend", spy)
+    cfg = Config(filename=str(path), blocking_algo=2, force_fixed_size=True,
+                 multiplication_algo=2, row_block_size=128,
+                 col_block_size=128, b_cols=256, dtype="int8",
+                 exp_repetitions=2, warmup=0, inner_iters=2)
+    row = run_experiment(cfg)
+    assert 0 <= row["rel_err"] < 5e-2
+    # the oracle rebuild must target the family the quantized run picked
+    (qdtype, _, qname), (odtype, oimpl, oname) = picks[-2:]
+    assert odtype == "float32"
+    assert "csr_auto_fine[" in qname, qname  # the pin must be exercised
+    fam = qname.split("[")[1].rstrip("]")
+    assert oimpl == {"mask": "fine"}.get(fam, fam)
+    assert oname.startswith(("csr_fine", "csr_dedup", "csr_fell"))
