@@ -76,11 +76,16 @@ def test_train_step_reduces_loss(model):
     assert losses[-1] < losses[0]
 
 
-def test_sharded_train_step():
+@pytest.mark.parametrize("attention", ["dense", "local"])
+def test_sharded_train_step(attention):
+    import dataclasses
+
     from sparta_tpu.parallel import make_mesh_2d
 
     mesh = make_mesh_2d((2, 4), axes=("dp", "tp"))
-    model = BlockSparseTransformer.create(CFG, jax.random.key(0))
+    cfg = dataclasses.replace(CFG, attention=attention, attn_window=1,
+                              attn_global_blocks=1)
+    model = BlockSparseTransformer.create(cfg, jax.random.key(0))
     opt = optax.adamw(1e-3)
     init_sharded, step = make_sharded_train_step(model, opt, mesh)
     tokens = jax.random.randint(jax.random.key(5), (8, 32), 0, CFG.vocab)
