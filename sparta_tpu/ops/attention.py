@@ -83,38 +83,61 @@ def build_block_mask(T_q: int, T_k: int, block: int = 128, *,
                      causal=causal)
 
 
+@functools.lru_cache(maxsize=64)
+def _mask_to_ell(mask: BlockMask):
+    """ELL-ify the block list: every block-row padded to the max blocks
+    per row (``wmax``).  Dead slots point at key tile 0 and are killed by
+    an additive -inf.  Converts every per-row reduction downstream into a
+    dense reduce over the static wmax axis — no segment ops (the measured
+    51 GB/s scatter ceiling) anywhere in the pipeline."""
+    counts = np.zeros(mask.nbr, dtype=np.int64)
+    for i in mask.br:
+        counts[i] += 1
+    wmax = max(int(counts.max()) if counts.size else 0, 1)
+    bc_ell = np.zeros((mask.nbr, wmax), dtype=np.int32)
+    live = np.zeros((mask.nbr, wmax), dtype=bool)
+    fill = np.zeros(mask.nbr, dtype=np.int64)
+    for i, j in zip(mask.br, mask.bc):
+        bc_ell[i, fill[i]] = j
+        live[i, fill[i]] = True
+        fill[i] += 1
+    return wmax, bc_ell, live
+
+
 @functools.partial(jax.jit, static_argnames=("nbr", "block", "causal"))
-def _bsa_core(q, k, v, br, bc, nbr, block, causal, scale):
-    """Single-head core: q [T_q, D], k/v [T_k, D] -> [T_q, D]."""
+def _bsa_core(q, k, v, bc_ell, live, nbr, block, causal, scale):
+    """Single-head core: q [T_q, D], k/v [T_k, D] -> [T_q, D].
+
+    ELL layout: bc_ell/live [nbr, wmax] give each query tile's key tiles
+    (dead slots masked).  SDD scores, softmax and PV are all batched
+    dense ops over [nbr, wmax, bh, bw] — MXU dots plus regular reduces,
+    no gather/scatter beyond the tile gathers."""
     bh = bw = block
     D = q.shape[-1]
     qt = q.reshape(nbr, bh, D)
-    kt = k.reshape(-1, bw, D)
-    vt = v.reshape(-1, bw, D)
-    # SDD: scores only for the nonzero blocks — batched MXU dots
-    s = jnp.einsum("nbd,ncd->nbc", qt[br], kt[bc],
+    kt = k.reshape(-1, bw, D)[bc_ell]           # [nbr, wmax, bw, D]
+    vt = v.reshape(-1, bw, D)[bc_ell]
+    # SDD: scores only for the pattern's blocks — batched MXU dots
+    s = jnp.einsum("rbd,rwcd->rwbc", qt, kt,
                    preferred_element_type=jnp.float32) * scale
+    neg = jnp.asarray(-jnp.inf, s.dtype)
     if causal:
-        # intra-block triangular mask built from iota (diagonal blocks);
+        # intra-block triangular mask from iota (diagonal blocks);
         # strictly-past blocks are fully visible, future ones absent
-        qi = br[:, None, None] * bh + jax.lax.broadcasted_iota(
-            jnp.int32, (1, bh, 1), 1)
-        ki = bc[:, None, None] * bw + jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, bw), 2)
-        s = jnp.where(qi >= ki, s, -jnp.inf)
-    # block-row softmax: per query row across all its blocks
-    m = jax.ops.segment_max(s.max(axis=2), br, num_segments=nbr,
-                            indices_are_sorted=True)          # [nbr, bh]
-    m = jnp.maximum(m, -1e30)  # rows with no visible key
-    p = jnp.exp(s - m[br][:, :, None])
-    denom = jax.ops.segment_sum(p.sum(axis=2), br, num_segments=nbr,
-                                indices_are_sorted=True)      # [nbr, bh]
-    p = p / jnp.maximum(denom, 1e-30)[br][:, :, None]
-    # PV: same batched-dot + segment-sum shape as the bell SpMM
-    ov = jnp.einsum("nbc,ncd->nbd", p.astype(v.dtype), vt[bc],
-                    preferred_element_type=jnp.float32)
-    o = jax.ops.segment_sum(ov, br, num_segments=nbr,
-                            indices_are_sorted=True)          # [nbr, bh, D]
+        qi = jax.lax.broadcasted_iota(jnp.int32, (nbr, 1, bh, 1), 0) * bh \
+            + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bh, 1), 2)
+        ki = bc_ell[:, :, None, None] * bw + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, 1, bw), 3)
+        s = jnp.where(qi >= ki, s, neg)
+    s = jnp.where(live[:, :, None, None], s, neg)
+    # per-query-row softmax: dense reduce over (wmax, bw)
+    m = jnp.maximum(s.max(axis=(1, 3)), -1e30)          # [nbr, bh]
+    p = jnp.exp(s - m[:, None, :, None])
+    denom = p.sum(axis=(1, 3))                          # [nbr, bh]
+    p = p / jnp.maximum(denom, 1e-30)[:, None, :, None]
+    # PV: one batched matmul, reduced over the static wmax axis
+    o = jnp.einsum("rwbc,rwcd->rbd", p.astype(v.dtype), vt,
+                   preferred_element_type=jnp.float32)  # [nbr, bh, D]
     return o.reshape(nbr * bh, D).astype(q.dtype)
 
 
@@ -132,13 +155,14 @@ def block_sparse_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if k.shape[-2] != mask.nbc * mask.block:
         raise ValueError(f"T_k={k.shape[-2]} != mask {mask.nbc}x{mask.block}")
     scale = scale if scale is not None else 1.0 / np.sqrt(q.shape[-1])
-    br = jnp.asarray(mask.br, dtype=jnp.int32)
-    bc = jnp.asarray(mask.bc, dtype=jnp.int32)
+    _, bc_ell, live = _mask_to_ell(mask)
+    bc_ell = jnp.asarray(bc_ell)
+    live = jnp.asarray(live)
     fn = functools.partial(_bsa_core, nbr=mask.nbr, block=mask.block,
                            causal=mask.causal, scale=scale)
     for _ in range(q.ndim - 2):
         fn = jax.vmap(fn, in_axes=(0, 0, 0, None, None))
-    return fn(q, k, v, br, bc)
+    return fn(q, k, v, bc_ell, live)
 
 
 def dense_mask_from_block_mask(mask: BlockMask) -> np.ndarray:
