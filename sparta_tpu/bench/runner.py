@@ -33,7 +33,7 @@ REFERENCE_COLUMNS = [
     "avg_time_multiply", "std_time_multiply",
 ]
 EXTRA_COLUMNS = ["backend", "dtype", "gflops", "nnz_per_s",
-                 "effective_tflops", "rel_err"]
+                 "effective_tflops", "rel_err", "counter_domain"]
 
 BELL_ALGOS = {
     MultiplicationAlgo.bell_xla,
@@ -379,6 +379,11 @@ def run_experiment(cfg) -> dict:
     # extras (reference derived-metric definitions, multiplication_barplots.py:515)
     row["backend"] = backend_name
     row["dtype"] = cfg.dtype
+    # hash_greedy (extension algo 7) counts comparisons/merges on its
+    # dedup-reduced problem, so its counter columns are NOT comparable
+    # with algos 0-5's full-domain counts; flag the domain per row
+    row["counter_domain"] = (
+        "dedup" if int(cfg.blocking_algo) == 7 else "full")
     row["gflops"] = (
         cfg.b_cols * engine.VBR_nzcount / (row["avg_time_multiply"] * 1e9)
         if row["avg_time_multiply"] else 0.0
