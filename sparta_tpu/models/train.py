@@ -45,7 +45,11 @@ def make_train_step(model: BlockSparseTransformer, optimizer):
 
 
 def param_shardings(model: BlockSparseTransformer, params, mesh: Mesh):
-    """NamedShardings: FFN vals sharded over tp on block-rows, rest replicated."""
+    """NamedShardings: FFN vals sharded over tp on block-rows; attention
+    projections Megatron-style (column-parallel qkv, row-parallel proj —
+    GSPMD then runs the per-head attention math tp-local and inserts ONE
+    all-reduce after proj); everything else replicated."""
+    tp = mesh.shape.get("tp", 1)
 
     def shard_of(path, leaf):
         names = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
@@ -55,6 +59,12 @@ def param_shardings(model: BlockSparseTransformer, params, mesh: Mesh):
             # block-columns of the down projection follow ffn_up's rows;
             # sharding vals on max_nb (ragged) is unsound -> replicate rows
             return NamedSharding(mesh, P(None, None, None, None))
+        if "qkv" in names and leaf.shape[-1] % tp == 0:
+            # column-parallel: out dim = 3*d_model splits head groups
+            return NamedSharding(
+                mesh, P(None, "tp") if names[-1] == "w" else P("tp"))
+        if "proj" in names and names[-1] == "w" and leaf.shape[0] % tp == 0:
+            return NamedSharding(mesh, P("tp", None))  # row-parallel
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(shard_of, params)

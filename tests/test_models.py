@@ -93,6 +93,9 @@ def test_sharded_train_step(attention):
         params, opt_state, tokens_s = init_sharded(jax.random.key(1), tokens)
         params, opt_state, loss = step(params, opt_state, tokens_s)
         assert np.isfinite(float(loss))
+    # sharding (incl. Megatron-split qkv/proj) must not change the math
+    ref = float(lm_loss(model, model.init(jax.random.key(1)), tokens))
+    assert abs(float(loss) - ref) < 1e-3 * max(1.0, abs(ref))
 
 
 def test_from_dense_block_pruning():
