@@ -153,7 +153,11 @@ def bell_from_csr(
     vals = np.zeros((nbr, max_nb, bh, bw), dtype=DATA)
     e_ib = blk_ib[block_of_entry]
     e_ord = blk_ord[block_of_entry]
-    vals[e_ib, e_ord, prow % bh, cmat.indices % bw] = cmat.values()
+    # accumulate: stored duplicate (row, col) entries SUM, matching the
+    # serial CSR.multiply oracle (plain fancy-index assignment would keep
+    # only the last duplicate)
+    np.add.at(vals, (e_ib, e_ord, prow % bh, cmat.indices % bw),
+              cmat.values())
 
     return BELL(
         cols_idx=cols_idx,

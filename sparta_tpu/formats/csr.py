@@ -119,7 +119,8 @@ class CSR:
     def to_dense(self) -> np.ndarray:
         out = np.zeros(self.shape, dtype=DATA)
         rows = np.repeat(np.arange(self.rows), self.row_nnz)
-        out[rows, self.indices] = self.values()
+        # stored duplicates SUM (same semantics as the serial multiply)
+        np.add.at(out, (rows, self.indices), self.values())
         return out
 
     # -- reference serial oracle -----------------------------------------

@@ -217,7 +217,9 @@ def vbr_from_csr(
     local_r = prow - row_part[ib]
     local_c = cmat.indices.astype(np.int64) % bw
     pos = block_ptr[block_of_entry] + local_r * bw + local_c
-    mab[pos] = cmat.values()
+    # stored duplicate (row, col) entries SUM (serial-oracle semantics);
+    # fancy assignment would keep only the last duplicate
+    np.add.at(mab, pos, cmat.values())
 
     return VBR(
         row_part=row_part.astype(np.int64),
