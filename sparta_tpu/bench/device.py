@@ -37,11 +37,16 @@ def wait_for_device(
     while True:
         if subprocess_probe:
             try:
+                # bound each attempt by the REMAINING budget (min 30 s so a
+                # short max_wait still allows one real attempt incl. the
+                # 20-40 s first compile; max 300 s) — a fixed long timeout
+                # would let a hanging tunnel blow way past max_wait
+                att = min(300.0, max(30.0, deadline - time.time()))
                 r = subprocess.run(
                     [sys.executable, "-c",
                      "import jax, jax.numpy as jnp;"
                      "x = jnp.ones((128, 128)); float((x @ x)[0, 0])"],
-                    capture_output=True, timeout=300,
+                    capture_output=True, timeout=att,
                 )
                 ok = r.returncode == 0
             except subprocess.TimeoutExpired:
