@@ -137,6 +137,23 @@ def main():
         f"std {std_c*1e3:.3f})")
     results["csr_ms"] = round(avg_c * 1e3, 3)
     results["speedup_vs_csr"] = round(avg_c / avg, 2)
+    del bcoo
+
+    # fine-grained dedup path (no blocking/reordering) — the execution
+    # that replaces "blocked formats lose here" for low-fill power-law
+    # graphs (r3; ops/fine.py)
+    try:
+        from sparta_tpu.ops import DedupDevice, dedup_spmm
+
+        ddev = DedupDevice.from_csr(m, dtype=dtype)
+        avg_f, std_f, _ = time_op(lambda b: dedup_spmm(ddev, b),
+                                  B[: m.cols], reps=3)
+        log(f"fine_dedup     : {avg_f*1e3:9.3f} ms "
+            f"({m.nnz/avg_f/1e9:.2f} Gnnz/s, std {std_f*1e3:.3f})")
+        results["fine_dedup_ms"] = round(avg_f * 1e3, 3)
+        results["fine_dedup_vs_csr"] = round(avg_c / avg_f, 2)
+    except Exception as e:  # noqa: BLE001
+        log(f"fine_dedup     : FAILED {type(e).__name__}: {str(e)[:160]}")
 
     print(json.dumps(results), flush=True)
 
