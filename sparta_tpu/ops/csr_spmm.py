@@ -189,6 +189,11 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
         rows_r = np.repeat(np.arange(M, dtype=np.int64) >> 7, cmat.row_nnz)
         n_uniq = np.unique(rows_r * np.int64(K) + cmat.indices).size
         t_dedup = dedup_model_s(n_uniq, M, Np, itemsize=itemsize)
+        # the dense-W operand is [slots, 128] — 128x the raw values; on
+        # ~100M-nnz graphs it outgrows HBM while the fine path's [slots]
+        # values do not.  Disqualify dedup past the device-memory cap.
+        if n_uniq * 128 * itemsize > DENSIFY_BYTES_CAP:
+            t_dedup = float("inf")
     else:
         t_dedup = float("inf")
 
