@@ -177,6 +177,9 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
     t_natbell = 2 * nzb * 128 * 128 * Np / _NATBELL_TPS
     itemsize = jnp.dtype(dtype).itemsize
     t_fine = fine_model_s(cmat.nnz, M, Np, itemsize=itemsize)
+    if cmat.nnz * Np * itemsize > DENSIFY_BYTES_CAP:
+        # the mask-combine materializes [slots, N] contributions in HBM
+        t_fine = float("inf")
     fell_w = choose_width(cmat.row_nnz, K, itemsize)
     t_fell = fell_model_s(cmat.row_nnz, fell_w, Np, itemsize=itemsize)
     # the dedup candidate needs the distinct (128-row-tile, column) pair
