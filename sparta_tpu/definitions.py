@@ -106,3 +106,13 @@ def ceil_div(a: int, b: int) -> int:
 
 def round_up(x: int, m: int) -> int:
     return ceil_div(x, m) * m
+
+
+def to_device(arr, dtype=None):
+    """Upload a host array and cast ON DEVICE.  numpy's elementwise cast
+    to ml_dtypes types (bfloat16/fp8) runs ~90 ns/elem and dominates
+    ingest for large operands; XLA's convert is ~free."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(arr)
+    return x if dtype is None else x.astype(dtype)

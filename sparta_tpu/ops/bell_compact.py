@@ -31,6 +31,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from ..definitions import to_device
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -107,7 +109,7 @@ class BellCompactDevice:
         return cls(
             row_ptr=jnp.asarray(row_ptr),
             cols_flat=jnp.asarray(cols),
-            vals_flat=jnp.asarray(vals, dtype=dtype),
+            vals_flat=to_device(vals, dtype),
         )
 
     def pad_blocks(self, extra: int) -> "BellCompactDevice":
@@ -535,7 +537,7 @@ def compact_from_host_padded(
     return BellCompactDevice(
         row_ptr=jnp.asarray(row_ptr),
         cols_flat=jnp.asarray(cols),
-        vals_flat=jnp.asarray(vals, dtype=dtype),
+        vals_flat=to_device(vals, dtype),
         chunk_multiple=chunk,
     )
 

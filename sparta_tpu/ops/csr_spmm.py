@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import sparse as jsparse
 
-from ..definitions import round_up
+from ..definitions import round_up, to_device
 from ..formats.csr import CSR
 
 
@@ -86,7 +86,7 @@ class EllDevice:
         r = np.repeat(np.arange(cmat.rows), counts)
         cols[r, ord_in_row] = cmat.indices
         vals[r, ord_in_row] = cmat.values()
-        return cls(jnp.asarray(cols), jnp.asarray(vals, dtype=dtype))
+        return cls(jnp.asarray(cols), to_device(vals, dtype))
 
 
 @jax.jit
@@ -218,7 +218,7 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
                 dev, jnp.pad(B, ((0, 0), (0, Np - N))))[:, :N]
         return fn, f"csr_auto_fine[{sub}]", 2 * cmat.nnz * Np
     if best == t_dense:
-        A = jnp.asarray(cmat.to_dense(), dtype=dtype)
+        A = to_device(cmat.to_dense(), dtype)
         return (lambda B: dense_matmul(A, B)), "csr_auto_dense", 2 * M * K * N
     bell = bell_from_csr(cmat, None, block_row_size=128, block_col_size=128)
     plan = plan_spmm(bell, Np, dtype=dtype, autotune=autotune)

@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..definitions import to_device
 from ..formats.bell import BELL
 
 
@@ -55,7 +56,7 @@ class BellDevice:
         return cls(
             cols_idx=jnp.asarray(bell.cols_idx, dtype=jnp.int32),
             nb_row=jnp.asarray(bell.nb_row, dtype=jnp.int32),
-            vals=jnp.asarray(bell.vals, dtype=dtype),
+            vals=to_device(bell.vals, dtype),
         )
 
 

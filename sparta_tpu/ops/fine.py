@@ -46,6 +46,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..definitions import to_device
 from ..formats.csr import CSR
 
 # measured v5e rates (results/gather_probe.json, fine_probe.json)
@@ -262,7 +263,7 @@ class FineDevice:
             np.arange(cmat.rows, dtype=np.int32), cmat.row_nnz)
         return cls(
             cols=jnp.asarray(cols),
-            vals=jnp.asarray(vals, dtype=dtype),
+            vals=to_device(vals, dtype),
             rows2d=jnp.asarray(rows[None, :]),
             tptr=jnp.asarray(tptr),
             rows=cmat.rows,
@@ -506,7 +507,10 @@ class DedupDevice:
         np.add.at(W, (new_pos[inv], rows % R), cmat.values())
         return cls(
             gidx=jnp.asarray(gidx),
-            W=jnp.asarray(W, dtype=dtype),
+            # upload f32 and convert on device: numpy's elementwise
+            # bf16 cast runs ~90 ns/elem and dominated ingest (10 s on a
+            # 1M-nnz graph); the XLA convert is ~free
+            W=jnp.asarray(W).astype(dtype),
             tptr=jnp.asarray(tptr),
             rows=cmat.rows,
             tile_rows=R,
@@ -680,7 +684,7 @@ class FellDevice:
         if int(nseg.sum()):
             vr_rows = np.repeat(
                 np.arange(cmat.rows, dtype=np.int32), nseg)
-        return cls(jnp.asarray(cols), jnp.asarray(vals, dtype=dtype),
+        return cls(jnp.asarray(cols), to_device(vals, dtype),
                    jnp.asarray(vr_rows), cmat.rows)
 
 

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..definitions import to_device
 from ..formats.bell import BELL
 from .bell_compact import (
     BellCompactDevice,
@@ -164,7 +165,7 @@ def _build_plan(bell: BELL, kind: str, tn: int, n_parts: int, chunk: int,
                 dtype) -> SpmmPlan:
     bw = bell.block_col_size
     if kind == "dense":
-        A = jnp.asarray(bell.to_dense_permuted(), dtype=dtype)
+        A = to_device(bell.to_dense_permuted(), dtype)
         return SpmmPlan(
             lambda B: jnp.dot(A, B, preferred_element_type=jnp.float32)
             .astype(B.dtype),

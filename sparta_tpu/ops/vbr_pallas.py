@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..definitions import round_up
+from ..definitions import round_up, to_device
 from ..formats.vbr import VBR
 from .bell_compact import BellCompactDevice, bell_spmm_pallas_compact_unrolled
 
@@ -93,7 +93,7 @@ class VbrPallasDevice:
             buckets.append(VbrPallasBucket(
                 row_ptr=jnp.asarray(row_ptr),
                 cols_flat=jnp.asarray(cols),
-                vals_flat=jnp.asarray(vals, dtype=dtype),
+                vals_flat=to_device(vals, dtype),
                 row_start=jnp.asarray(vbr.row_part[sel], dtype=jnp.int32),
                 heights=jnp.asarray(heights[sel], dtype=jnp.int32),
             ))

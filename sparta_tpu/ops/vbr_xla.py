@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..definitions import round_up
+from ..definitions import round_up, to_device
 from ..formats.vbr import VBR
 
 
@@ -81,7 +81,7 @@ class VbrDevice:
             buckets.append(
                 VbrBucket(
                     cols_idx=jnp.asarray(cols),
-                    vals=jnp.asarray(vals, dtype=dtype),
+                    vals=to_device(vals, dtype),
                     row_start=jnp.asarray(vbr.row_part[sel], dtype=jnp.int32),
                     heights=jnp.asarray(heights[sel], dtype=jnp.int32),
                 )
