@@ -202,15 +202,38 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
 
     best = min(t_dense, t_natbell, t_fine, t_dedup, t_fell)
     if best in (t_fine, t_dedup, t_fell):
-        if best == t_dedup:
-            dev = DedupDevice.from_csr(cmat, dtype=dtype)
-            run, sub = dedup_spmm, "dedup"
-        elif best == t_fell:
-            dev = FellDevice.from_csr(cmat, width=fell_w, dtype=dtype)
-            run, sub = fell_spmm, "fell"
-        else:
-            dev = FineDevice.from_csr(cmat, dtype=dtype)
-            run, sub = fine_spmm, "mask"
+        def build(tag):
+            if tag == "dedup":
+                return DedupDevice.from_csr(cmat, dtype=dtype), dedup_spmm
+            if tag == "fell":
+                return (FellDevice.from_csr(cmat, width=fell_w, dtype=dtype),
+                        fell_spmm)
+            return FineDevice.from_csr(cmat, dtype=dtype), fine_spmm
+
+        fam = sorted([(t_fine, "mask"), (t_dedup, "dedup"),
+                      (t_fell, "fell")])
+        sub = fam[0][1]
+        # measured pick among close fine-family candidates (same ±30%
+        # model-error rationale as plan_spmm's autotune)
+        close = [g for t, g in fam if t <= 2.5 * fam[0][0]]
+        if autotune and len(close) > 1 and jax.default_backend() != "cpu":
+            from ..bench.timing import time_op
+
+            Bt = jnp.asarray(np.random.default_rng(0).standard_normal(
+                (K, Np)).astype(np.float32), dtype=dtype)
+            meas = []
+            for g in close:
+                d, r = build("fine" if g == "mask" else g)
+                try:
+                    avg, _, _ = time_op(lambda B: r(d, B), Bt, warmup=1,
+                                        reps=2, target_time=0.1)
+                    meas.append((avg, g))
+                except Exception:  # noqa: BLE001 — a faulting variant loses
+                    continue
+                del d
+            if meas:
+                sub = min(meas)[1]
+        dev, run = build("fine" if sub == "mask" else sub)
         if N == Np:
             fn = lambda B: run(dev, B)  # noqa: E731
         else:
