@@ -136,3 +136,70 @@ class BlockSparseTransformer:
 
     def param_count(self, params) -> int:
         return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+    # -- decode (KV cache) --------------------------------------------------
+    def init_cache(self, batch: int) -> dict:
+        """Per-layer K/V rings sized to max_seq (static shapes under jit)."""
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        dh = cfg.d_model // cfg.n_heads
+        return {
+            "pos": jnp.zeros((), jnp.int32),
+            "layers": [
+                {"k": jnp.zeros((batch, cfg.n_heads, cfg.max_seq, dh), dtype),
+                 "v": jnp.zeros((batch, cfg.n_heads, cfg.max_seq, dh), dtype)}
+                for _ in range(cfg.n_layers)
+            ],
+        }
+
+    def decode_step(self, params, token: jax.Array, cache: dict):
+        """One serving step: token [batch] int32 at position cache['pos']
+        -> (logits [batch, vocab], new cache).
+
+        Attention replicates apply()'s semantics exactly at single-query
+        granularity: full causal for attention='dense'; for 'local', key
+        positions whose 128-tile is within attn_window-1 tiles of the
+        query's tile OR inside the first attn_global_blocks tiles (and
+        <= pos) — the same tile-granular pattern build_block_mask emits."""
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        h, dh = cfg.n_heads, cfg.d_model // cfg.n_heads
+        pos = cache["pos"]
+        x = params["embed"][token].astype(dtype)  # [b, d]
+        x = x + jax.lax.dynamic_index_in_dim(
+            params["pos"], pos, keepdims=False).astype(dtype)
+        new_layers = []
+        kpos = jnp.arange(cfg.max_seq)
+        visible = kpos <= pos  # causal
+        if cfg.attention == "local":
+            qt = pos // cfg.block
+            kt = kpos // cfg.block
+            visible &= (kt >= qt - (cfg.attn_window - 1)) \
+                | (kt < cfg.attn_global_blocks)
+        for i, lp in enumerate(params["layers"]):
+            xa = layernorm_apply(lp["ln1"], x[:, None, :])[:, 0]
+            qkv = dense_apply(lp["qkv"], xa).reshape(-1, 3, h, dh)
+            q, k_new, v_new = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+            ck = jax.lax.dynamic_update_slice_in_dim(
+                cache["layers"][i]["k"], k_new.astype(dtype)[:, :, None, :],
+                pos, axis=2)
+            cv = jax.lax.dynamic_update_slice_in_dim(
+                cache["layers"][i]["v"], v_new.astype(dtype)[:, :, None, :],
+                pos, axis=2)
+            new_layers.append({"k": ck, "v": cv})
+            s = jnp.einsum("bhd,bhkd->bhk", q.astype(jnp.float32),
+                           ck.astype(jnp.float32)) / np.sqrt(dh)
+            s = jnp.where(visible[None, None, :], s, -jnp.inf)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum("bhk,bhkd->bhd", p, cv.astype(jnp.float32))
+            att = dense_apply(lp["proj"], o.reshape(-1, cfg.d_model)
+                              .astype(dtype))
+            x = x + att
+            hdn = layernorm_apply(lp["ln2"], x[:, None, :])
+            hdn = self.ffn_up[i].apply(lp["ffn_up"], hdn)
+            hdn = jax.nn.gelu(hdn)
+            hdn = self.ffn_down[i].apply(lp["ffn_down"], hdn)
+            x = x + hdn[:, 0]
+        xf = layernorm_apply(params["final_ln"], x[:, None, :])[:, 0]
+        logits = (xf @ params["embed"].T.astype(dtype)).astype(jnp.float32)
+        return logits, {"pos": pos + 1, "layers": new_layers}

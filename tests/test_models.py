@@ -491,3 +491,26 @@ def test_local_attention_transformer():
         params, opt_state, loss = step(params, opt_state, tokens)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize("attention", ["dense", "local"])
+def test_decode_step_matches_full_forward(attention):
+    """Token-by-token KV-cache decode must reproduce apply()'s last-token
+    logits exactly (same tile-granular local-attention semantics)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, attention=attention, attn_window=1,
+                              attn_global_blocks=1)
+    model = BlockSparseTransformer.create(cfg, jax.random.key(0))
+    params = model.init(jax.random.key(1))
+    S = CFG.max_seq
+    tokens = jax.random.randint(jax.random.key(2), (2, S), 0, CFG.vocab)
+    full = np.asarray(model.apply(params, tokens))  # [2, S, vocab]
+
+    cache = model.init_cache(batch=2)
+    step = jax.jit(model.decode_step)
+    for t in range(S):
+        logits, cache = step(params, tokens[:, t], cache)
+        np.testing.assert_allclose(np.asarray(logits), full[:, t],
+                                   rtol=2e-3, atol=2e-3)
+    assert int(cache["pos"]) == S
