@@ -142,18 +142,30 @@ def run_sweep(
 
 def collect_csvs(out_dir: str | Path, dest: str | Path) -> int:
     """Concatenate per-run 2-line CSVs into one table (reference
-    collect_experiments.sh / utils/collect_*.sh)."""
+    collect_experiments.sh / utils/collect_*.sh).
+
+    Cells written by different framework versions can carry different
+    EXTRA column tails; rows are merged BY NAME (first file's order,
+    new fields appended; missing values empty) so schemas never
+    misalign silently."""
+    import csv as csvmod
+
     out_dir = Path(out_dir)
-    rows = []
-    header = None
+    rows: list[dict] = []
+    fields: list[str] = []
     for f in sorted(out_dir.glob("*.csv")):
         lines = f.read_text().strip().splitlines()
         if len(lines) < 2:
             continue
-        if header is None:
-            header = lines[0]
-        rows.append(lines[1])
-    if header is None:
+        for r in csvmod.DictReader(lines):
+            rows.append(r)
+            for k in r:
+                if k not in fields:
+                    fields.append(k)
+    if not fields:
         return 0
-    Path(dest).write_text(header + "\n" + "\n".join(rows) + "\n")
+    with open(dest, "w", newline="") as fh:
+        w = csvmod.DictWriter(fh, fieldnames=fields, restval="")
+        w.writeheader()
+        w.writerows(rows)
     return len(rows)

@@ -262,3 +262,22 @@ def test_analyze_csv_append(tmp_path):
 
     df = pd.read_csv(csv_out)
     assert len(df) == 2 and set(df["method"]) == {"original", "external1"}
+
+
+def test_collect_csvs_merges_mixed_schemas(tmp_path):
+    """Cells written by different framework versions carry different
+    EXTRA column tails; collation must merge BY NAME, never paste raw
+    rows under a mismatched header."""
+    d = tmp_path / "cells"
+    d.mkdir()
+    (d / "a_old.csv").write_text("exp_name,rows,backend\nfoo,10,bell\n")
+    (d / "b_new.csv").write_text(
+        "exp_name,rows,backend,rel_err,counter_domain\n"
+        "bar,20,fine,0.001,full\n")
+    n = collect_csvs(d, tmp_path / "all.csv")
+    assert n == 2
+    import csv
+
+    rows = list(csv.DictReader((tmp_path / "all.csv").open()))
+    assert rows[0]["backend"] == "bell" and rows[0]["counter_domain"] == ""
+    assert rows[1]["rel_err"] == "0.001"
