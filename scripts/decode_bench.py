@@ -32,12 +32,11 @@ def main():
     ap.add_argument("--gen", type=int, default=0, help="tokens to generate")
     args = ap.parse_args()
 
-    import os
-
     import jax
 
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    from sparta_tpu.bench.device import ensure_cpu_backend
+
+    ensure_cpu_backend()
     import jax.numpy as jnp
 
     from sparta_tpu.bench.device import wait_for_device

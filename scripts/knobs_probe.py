@@ -152,14 +152,11 @@ def main():
     ap.add_argument("--out", default="results/knobs_probe.json")
     args = ap.parse_args()
 
-    import os
-
     import jax
 
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        # sitecustomize registers the axon backend and ignores the env
-        # var; re-assert before any backend init (CLAUDE.md gotcha)
-        jax.config.update("jax_platforms", "cpu")
+    from sparta_tpu.bench.device import ensure_cpu_backend
+
+    ensure_cpu_backend()
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

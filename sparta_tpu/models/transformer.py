@@ -177,7 +177,7 @@ class BlockSparseTransformer:
             visible &= (kt >= qt - (cfg.attn_window - 1)) \
                 | (kt < cfg.attn_global_blocks)
         for i, lp in enumerate(params["layers"]):
-            xa = layernorm_apply(lp["ln1"], x[:, None, :])[:, 0]
+            xa = layernorm_apply(lp["ln1"], x)  # rank-agnostic (last dim)
             qkv = dense_apply(lp["qkv"], xa).reshape(-1, 3, h, dh)
             q, k_new, v_new = qkv[:, 0], qkv[:, 1], qkv[:, 2]
             ck = jax.lax.dynamic_update_slice_in_dim(
@@ -195,11 +195,11 @@ class BlockSparseTransformer:
             att = dense_apply(lp["proj"], o.reshape(-1, cfg.d_model)
                               .astype(dtype))
             x = x + att
-            hdn = layernorm_apply(lp["ln2"], x[:, None, :])
+            hdn = layernorm_apply(lp["ln2"], x)
             hdn = self.ffn_up[i].apply(lp["ffn_up"], hdn)
             hdn = jax.nn.gelu(hdn)
             hdn = self.ffn_down[i].apply(lp["ffn_down"], hdn)
-            x = x + hdn[:, 0]
-        xf = layernorm_apply(params["final_ln"], x[:, None, :])[:, 0]
+            x = x + hdn
+        xf = layernorm_apply(params["final_ln"], x)
         logits = (xf @ params["embed"].T.astype(dtype)).astype(jnp.float32)
         return logits, {"pos": pos + 1, "layers": new_layers}

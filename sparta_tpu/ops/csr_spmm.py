@@ -208,7 +208,7 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
             if tag == "fell":
                 return (FellDevice.from_csr(cmat, width=fell_w, dtype=dtype),
                         fell_spmm)
-            return FineDevice.from_csr(cmat, dtype=dtype), fine_spmm
+            return FineDevice.from_csr(cmat, dtype=dtype), fine_spmm  # mask
 
         fam = sorted([(t_fine, "mask"), (t_dedup, "dedup"),
                       (t_fell, "fell")])
@@ -223,7 +223,7 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
                 (K, Np)).astype(np.float32), dtype=dtype)
             meas = []
             for g in close:
-                d, r = build("fine" if g == "mask" else g)
+                d, r = build(g)
                 try:
                     avg, _, _ = time_op(lambda B: r(d, B), Bt, warmup=1,
                                         reps=2, target_time=0.1)
@@ -233,7 +233,7 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
                 del d
             if meas:
                 sub = min(meas)[1]
-        dev, run = build("fine" if sub == "mask" else sub)
+        dev, run = build(sub)
         if N == Np:
             fn = lambda B: run(dev, B)  # noqa: E731
         else:
