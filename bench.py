@@ -35,7 +35,26 @@ def main():
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    from sparta_tpu.bench.device import ensure_cpu_backend, wait_for_device
+
+    ensure_cpu_backend()  # honor an explicit JAX_PLATFORMS=cpu drive
+
+    # probe from a SUBPROCESS before initializing this process's backend:
+    # a down-but-connecting tunnel hangs backend init indefinitely, which
+    # would hang the whole bench before its error paths can run
+    if os.environ.get("JAX_PLATFORMS") != "cpu" and not wait_for_device(
+            max_wait=1200, poll=30, subprocess_probe=True):
+        print(json.dumps({
+            "metric": "reordered_blocked_spmm_speedup_vs_best_unstructured",
+            "value": 0.0, "unit": "x", "vs_baseline": 0.0,
+            "error": "device unreachable (tunnel down after 20 min probe)",
+        }), flush=True)
+        return
+
     import jax.numpy as jnp
 
     from sparta_tpu.bench.timing import time_op
