@@ -514,3 +514,45 @@ def test_decode_step_matches_full_forward(attention):
         np.testing.assert_allclose(np.asarray(logits), full[:, t],
                                    rtol=2e-3, atol=2e-3)
     assert int(cache["pos"]) == S
+
+
+def test_transformer_trains_to_quality_and_decodes():
+    """The blocked-FFN custom-gather pipeline must OPTIMIZE end to end:
+    train the tiny block-sparse transformer 400 steps to memorize a fixed
+    batch (>90% next-token accuracy — the transformer analogue of the GCN
+    train-to-quality test), then greedily regenerate the memorized
+    continuation through the KV-cache decode path (train -> serve)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, vocab=64, d_model=64, d_ff=128, max_seq=32,
+        ffn_block_density=0.5)
+    model = BlockSparseTransformer.create(cfg, jax.random.key(0))
+    params = model.init(jax.random.key(1))
+    opt = optax.adamw(3e-3)
+    opt_state = opt.init(params)
+    step = make_train_step(model, opt)
+    tokens = jax.random.randint(jax.random.key(5), (8, 32), 0, cfg.vocab)
+    first = None
+    for _ in range(400):
+        params, opt_state, loss = step(params, opt_state, tokens)
+        first = float(loss) if first is None else first
+    assert float(loss) < first / 100, (first, float(loss))
+
+    logits = model.apply(params, tokens[:, :-1])
+    acc = (np.asarray(logits).argmax(-1) == np.asarray(tokens[:, 1:])).mean()
+    assert acc > 0.9, f"train accuracy {acc:.3f}"
+
+    # greedy decode from an 8-token prefix must reproduce the memorized
+    # continuation (the batch rows are distinct, so the prefix directs it)
+    prefix = 8
+    cache = model.init_cache(batch=8)
+    dstep = jax.jit(model.decode_step)
+    tok = None
+    for t in range(tokens.shape[1] - 1):
+        feed = tokens[:, t] if t < prefix else tok
+        lg, cache = dstep(params, feed, cache)
+        tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        if t >= prefix - 1:
+            match = (np.asarray(tok) == np.asarray(tokens[:, t + 1])).mean()
+            assert match > 0.85, (t, match)
