@@ -39,8 +39,12 @@ EXPERIMENT_BUNDLES = {
 
 def config_hash(cfg: Config) -> str:
     """Stable cell key: hash only fields that differ from the Config default,
-    so adding new defaults-only fields to Config keeps old cell hashes (and
-    cached sweep results) valid."""
+    so adding new defaults-only fields to Config keeps cell hashes (and
+    cached sweep results) valid GOING FORWARD.  Cells written under an older
+    hash scheme are not invalidated either: run_sweep adopts any cached cell
+    whose row CONTENT matches the config (renaming it to the current hash),
+    so a scheme change never re-runs cells or duplicates rows in
+    collect_csvs."""
     payload = {}
     for f in dataclasses.fields(cfg):
         if f.name in ("outfile", "verbose"):
@@ -99,6 +103,65 @@ def _run_cell_isolated(cfg: Config, timeout: int = 1800) -> dict:
     raise RuntimeError(f"cell failed after retries: {err[:300]}")
 
 
+# Config field -> result-row field pairs that uniquely identify a sweep
+# cell's configuration inside one matrix stem (used to adopt cells cached
+# under an older config_hash scheme instead of re-running them)
+_CELL_IDENTITY = (
+    ("exp_name", "exp_name"), ("b_cols", "b_cols"), ("tau", "tau"),
+    ("row_block_size", "row_block_size"),
+    ("col_block_size", "col_block_size"),
+    ("multiplication_algo", "multiplication_algo"),
+    ("blocking_algo", "blocking_algo"), ("sim_measure", "sim_measure"),
+    ("sim_use_groups", "sim_use_groups"), ("sim_use_pattern", "use_pattern"),
+    ("reorder", "reorder"), ("symmetrize", "symmetrize"),
+    ("n_streams", "n_streams"), ("warmup", "warmup"),
+    ("exp_repetitions", "exp_repetitions"),
+)
+
+
+def _row_matches(row: dict, cfg: Config) -> bool:
+    for cf, rf in _CELL_IDENTITY:
+        if rf not in row:
+            return False
+        want, got = getattr(cfg, cf), row[rf]
+        if isinstance(want, float):
+            if abs(float(got) - want) > 1e-12:
+                return False
+        elif isinstance(want, str):
+            if str(got) != want:
+                return False
+        elif int(got) != int(want):
+            return False
+    # dtype entered the row extras later; match when both sides have it
+    if "dtype" in row and str(row["dtype"]) != cfg.dtype:
+        return False
+    return True
+
+
+def _adopt_legacy_cell(cell: Path, cfg: Config, stem: str) -> None:
+    """Resume across config_hash scheme changes: if this config's result is
+    cached under a DIFFERENT (legacy) hash, rename it — and its .csv /
+    .csv.json / .csv.g siblings — to the current cell name, so the sweep
+    neither re-runs the cell nor leaves a duplicate row for collect_csvs."""
+    if cell.exists():
+        return
+    for old in sorted(cell.parent.glob(f"{stem}_*.json")):
+        if old == cell or old.name.endswith(".csv.json"):
+            continue
+        try:
+            row = json.loads(old.read_text())
+        except (json.JSONDecodeError, OSError):
+            continue
+        if not isinstance(row, dict) or not _row_matches(row, cfg):
+            continue
+        oldbase, newbase = old.with_suffix(""), cell.with_suffix("")
+        for ext in (".json", ".csv", ".csv.json", ".csv.g"):
+            src = Path(str(oldbase) + ext)
+            if src.exists() and not Path(str(newbase) + ext).exists():
+                src.rename(str(newbase) + ext)
+        return
+
+
 def run_sweep(
     matrices: list[str],
     grid: dict,
@@ -122,8 +185,11 @@ def run_sweep(
             for k, v in zip(keys, combo):
                 setattr(cfg, k, v)
             h = config_hash(cfg)
-            cell = out_dir / f"{Path(str(matrix)).stem}_{h}.json"
-            cfg.outfile = str(out_dir / f"{Path(str(matrix)).stem}_{h}.csv")
+            stem = Path(str(matrix)).stem
+            cell = out_dir / f"{stem}_{h}.json"
+            cfg.outfile = str(out_dir / f"{stem}_{h}.csv")
+            if resume:
+                _adopt_legacy_cell(cell, cfg, stem)
             if resume and cell.exists():
                 results.append(json.loads(cell.read_text()))
                 continue

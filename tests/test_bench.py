@@ -305,3 +305,42 @@ def test_quantized_csr_auto_rel_err_family_pinned(tmp_path, monkeypatch):
     fam = qname.split("[")[1].rstrip("]")
     assert oimpl == {"mask": "fine"}.get(fam, fam)
     assert oname.startswith(("csr_fine", "csr_dedup", "csr_fell"))
+
+
+def test_sweep_adopts_legacy_hash_cells(matrix_file, tmp_path):
+    """A config_hash scheme change must not re-run cached cells or leave
+    duplicate rows behind: run_sweep renames a cached cell whose row
+    CONTENT matches the config from its legacy hash to the current one."""
+    import json
+
+    from sparta_tpu.bench.sweep import config_hash, run_sweep
+
+    base = Config(exp_name="legacy", multiplication_algo=0, b_cols=128,
+                  tau=0.2, row_block_size=3, col_block_size=3)
+    # first run populates the cache under the CURRENT scheme
+    rows = run_sweep([matrix_file], {}, tmp_path, base=base)
+    assert len(rows) == 1
+    cfg = Config(**{**base.__dict__, "filename": str(matrix_file)})
+    h = config_hash(cfg)
+    stem = matrix_file.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+    cur = tmp_path / f"{stem}_{h}.json"
+    assert cur.exists()
+    # simulate a legacy scheme: move every artifact to a different hash
+    for ext in (".json", ".csv", ".csv.json", ".csv.g"):
+        p = tmp_path / f"{stem}_{h}{ext}"
+        if p.exists():
+            p.rename(tmp_path / f"{stem}_00legacyhash00{ext}")
+    t0 = json.loads((tmp_path / f"{stem}_00legacyhash00.json").read_text())
+    # resume: the legacy cell must be ADOPTED (renamed), not re-run
+    rows2 = run_sweep([matrix_file], {}, tmp_path, base=base)
+    assert cur.exists()
+    assert not (tmp_path / f"{stem}_00legacyhash00.json").exists()
+    assert rows2[0]["avg_time_multiply"] == t0["avg_time_multiply"]
+    # exactly one .json cell (+ .csv.json sidecar) — no duplicates
+    cells = [p for p in tmp_path.glob(f"{stem}_*.json")
+             if not p.name.endswith(".csv.json")]
+    assert len(cells) == 1
+    # a DIFFERENT config must not adopt it
+    other = Config(**{**base.__dict__, "tau": 0.5})
+    rows3 = run_sweep([matrix_file], {}, tmp_path, base=other)
+    assert cur.exists() and len(rows3) == 1
