@@ -36,12 +36,11 @@ def main():
 
     import jax
 
-    from sparta_tpu.bench.device import ensure_cpu_backend
+    from sparta_tpu.bench.device import require_device
 
-    ensure_cpu_backend()
+    require_device()
     import jax.numpy as jnp
 
-    from sparta_tpu.bench.device import wait_for_device
     from sparta_tpu.bench.timing import time_op
     from sparta_tpu.ops.attention import (
         block_sparse_attention,
@@ -49,8 +48,6 @@ def main():
         dense_mask_from_block_mask,
     )
 
-    if jax.default_backend() != "cpu":
-        wait_for_device()
     log(f"devices: {jax.devices()}")
     H, D, W = args.heads, args.dhead, args.window
     Ts = (512,) if args.quick else (2048, 4096, 8192)

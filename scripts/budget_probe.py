@@ -33,6 +33,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from sparta_tpu.bench.device import require_device
+
+    require_device()
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental import pallas as pl

@@ -34,9 +34,9 @@ def main():
     ap.add_argument("--autotune", action="store_true")
     args = ap.parse_args()
 
-    from sparta_tpu.bench.device import ensure_cpu_backend
+    from sparta_tpu.bench.device import require_device
 
-    ensure_cpu_backend()
+    require_device()
     from sparta_tpu.bench.sweep import EXPERIMENT_BUNDLES, collect_csvs, run_sweep
     from sparta_tpu.cli import Config
     from sparta_tpu.datasets import synthetic_suite

@@ -34,17 +34,14 @@ def main():
 
     import jax
 
-    from sparta_tpu.bench.device import ensure_cpu_backend
+    from sparta_tpu.bench.device import require_device
 
-    ensure_cpu_backend()
+    require_device()
     import jax.numpy as jnp
 
-    from sparta_tpu.bench.device import wait_for_device
     from sparta_tpu.bench.timing import time_op
     from sparta_tpu.models import BlockSparseTransformer, TransformerConfig
 
-    if jax.default_backend() != "cpu":
-        wait_for_device()
     log(f"devices: {jax.devices()}")
     if args.quick:
         base = TransformerConfig(

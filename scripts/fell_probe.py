@@ -34,6 +34,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from sparta_tpu.bench.device import require_device
+
+    require_device()
     import jax.numpy as jnp
 
     from sparta_tpu.bench.timing import time_op

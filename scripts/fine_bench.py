@@ -39,7 +39,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from sparta_tpu.bench.device import wait_for_device
+    from sparta_tpu.bench.device import require_device
     from sparta_tpu.bench.timing import time_op
     from sparta_tpu.datasets import load_reference_graph
     from sparta_tpu.formats.csr import rmat_csr
@@ -55,7 +55,7 @@ def main():
         fine_spmm,
     )
 
-    wait_for_device()
+    require_device()
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
     N = args.n

@@ -35,6 +35,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from sparta_tpu.bench.device import require_device
+
+    require_device()
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

@@ -33,10 +33,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from sparta_tpu.bench.device import wait_for_device
+    from sparta_tpu.bench.device import require_device
     from sparta_tpu.bench.timing import time_op
 
-    wait_for_device()
+    require_device()
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
     out = {}

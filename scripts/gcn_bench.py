@@ -37,9 +37,9 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from sparta_tpu.bench.device import ensure_cpu_backend
+    from sparta_tpu.bench.device import require_device
 
-    ensure_cpu_backend()
+    require_device()
     from sparta_tpu.bench.timing import time_op
     from sparta_tpu.datasets import stencil_csr
     from sparta_tpu.models import GCN, GCNConfig, make_gcn_train_step

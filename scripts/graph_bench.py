@@ -44,9 +44,9 @@ def main():
 
     import jax
 
-    from sparta_tpu.bench.device import ensure_cpu_backend
+    from sparta_tpu.bench.device import require_device
 
-    ensure_cpu_backend()
+    require_device()
     import jax.numpy as jnp
 
     from sparta_tpu.bench.timing import time_op

@@ -65,3 +65,22 @@ def wait_for_device(
         if time.time() >= deadline:
             return False
         time.sleep(poll)
+
+
+def require_device(max_wait: float = 1200.0, poll: float = 30.0) -> None:
+    """Bounded device gate for TPU bench scripts.
+
+    On a non-CPU drive, probe from a SUBPROCESS before this process
+    initializes its backend — a down-but-connecting tunnel hangs in-process
+    backend init indefinitely, before any error path can run — and exit
+    with a clear message if the device never answers.  On an explicit
+    JAX_PLATFORMS=cpu drive this honors the CPU backend and returns."""
+    import os
+
+    ensure_cpu_backend()
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        return
+    if not wait_for_device(max_wait=max_wait, poll=poll,
+                           subprocess_probe=True):
+        raise SystemExit(
+            f"device unreachable (tunnel down after {max_wait:.0f}s probe)")

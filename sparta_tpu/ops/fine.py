@@ -697,10 +697,17 @@ def _fell_spmm(cols, vals, vr_rows, rows, B):
         bs = jax.lax.slice_in_dim(B, s * nt, (s + 1) * nt, axis=1) \
             if B.shape[1] % 128 == 0 else B
         # W fused gather-multiply-adds: each step gathers full slab rows —
-        # XLA fuses into one loop, no [n_virt, W, nt] intermediate
-        acc = vals[:, 0:1] * bs[cols[:, 0]].astype(vals.dtype)
+        # XLA fuses into one loop, no [n_virt, W, nt] intermediate.  Each
+        # term multiplies in the storage dtype but ACCUMULATES in fp32:
+        # W-deep bf16 adds plus a bf16 segment-sum measured 6e-2 relative
+        # error on power-law graphs — over the 1e-2 matched-accuracy bar.
+        def term(i):
+            return (vals[:, i: i + 1]
+                    * bs[cols[:, i]].astype(vals.dtype)).astype(jnp.float32)
+
+        acc = term(0)
         for i in range(1, w):
-            acc += vals[:, i: i + 1] * bs[cols[:, i]].astype(vals.dtype)
+            acc += term(i)
         # sorted segment-sum: n_virt ~= nnz/W rows — W x cheaper than the
         # per-nonzero scatter that sinks the BCOO path
         outs.append(jax.ops.segment_sum(

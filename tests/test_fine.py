@@ -189,6 +189,21 @@ def test_fell_spmm_matches_dense():
         np.testing.assert_allclose(C, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_fell_bf16_accumulates_fp32():
+    """bf16 storage must not mean bf16 ACCUMULATION: W-deep bf16 adds plus
+    a bf16 segment-sum measured 6e-2 normalized error on power-law graphs
+    (over the 1e-2 matched-accuracy bar). The product accumulates fp32."""
+    m = rmat_csr(11, edge_factor=16, seed=5)
+    rng = np.random.default_rng(1)
+    B = rng.standard_normal((m.cols, 256)).astype(np.float32)
+    ref = _dense_oracle(m, B)
+    dev = FellDevice.from_csr(m, width=32, dtype=jnp.bfloat16)
+    C = np.asarray(fell_spmm(dev, jnp.asarray(B, dtype=jnp.bfloat16)),
+                   dtype=np.float32)
+    err = np.abs(C - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 1e-2, f"normalized error {err:.2e}"
+
+
 def test_fell_empty_rows():
     vals = np.array([1.0, 2.0, 3.0], dtype=np.float32)
     m = CSR.from_coo(np.array([0, 0, 4]), np.array([1, 3, 2]), vals, (6, 5))
