@@ -53,6 +53,10 @@ def main():
             vocab=32768, d_model=1024, n_heads=16, n_layers=8, d_ff=4096,
             max_seq=2048, block=128, ffn_block_density=0.2, dtype="bfloat16")
         gen = args.gen or 256
+    if gen > base.max_seq:
+        log(f"--gen {gen} capped to max_seq={base.max_seq} "
+            f"(the KV cache holds max_seq slots)")
+        gen = base.max_seq
     out = {"batch": args.batch, "gen_tokens": gen,
            "d_model": base.d_model, "n_layers": base.n_layers,
            "max_seq": base.max_seq}

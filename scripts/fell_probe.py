@@ -69,7 +69,7 @@ def main():
         flops = 2 * m.nnz * N
         row = {"rows": m.rows, "nnz": m.nnz, "b_cols": N}
 
-        w_auto = choose_width(m.row_nnz, N, 2)
+        w_auto = choose_width(m.row_nnz, 2)
         widths = sorted({4, 8, 16, w_auto})
         for w in widths:
             dev = FellDevice.from_csr(m, width=w, dtype=dtype)

@@ -202,4 +202,9 @@ class BlockSparseTransformer:
             x = x + hdn
         xf = layernorm_apply(params["final_ln"], x)
         logits = (xf @ params["embed"].T.astype(dtype)).astype(jnp.float32)
+        # the cache holds max_seq slots: past it the K/V write would clamp
+        # onto the last slot and return silently-wrong logits.  A python
+        # assert can't see a traced pos, so poison the logits instead —
+        # NaN propagates to any sampler/loss and fails LOUDLY.
+        logits = jnp.where(pos < cfg.max_seq, logits, jnp.nan)
         return logits, {"pos": pos + 1, "layers": new_layers}

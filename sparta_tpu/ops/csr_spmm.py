@@ -180,7 +180,7 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
     if cmat.nnz * Np * itemsize > DENSIFY_BYTES_CAP:
         # the mask-combine materializes [slots, N] contributions in HBM
         t_fine = float("inf")
-    fell_w = choose_width(cmat.row_nnz, K, itemsize)
+    fell_w = choose_width(cmat.row_nnz, itemsize)
     t_fell = fell_model_s(cmat.row_nnz, fell_w, Np, itemsize=itemsize)
     # the dedup candidate needs the distinct (128-row-tile, column) pair
     # count — an O(nnz log nnz) host sort.  Price it lazily: n_uniq >=
@@ -213,6 +213,7 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
         fam = sorted([(t_fine, "mask"), (t_dedup, "dedup"),
                       (t_fell, "fell")])
         sub = fam[0][1]
+        dev = run = None
         # measured pick among close fine-family candidates (same ±30%
         # model-error rationale as plan_spmm's autotune)
         close = [g for t, g in fam if t <= 2.5 * fam[0][0]]
@@ -221,19 +222,23 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
 
             Bt = jnp.asarray(np.random.default_rng(0).standard_normal(
                 (K, Np)).astype(np.float32), dtype=dtype)
-            meas = []
+            winner = None  # (avg, tag, dev, run) — keep the MEASURED build
             for g in close:
                 d, r = build(g)
                 try:
                     avg, _, _ = time_op(lambda B: r(d, B), Bt, warmup=1,
                                         reps=2, target_time=0.1)
-                    meas.append((avg, g))
                 except Exception:  # noqa: BLE001 — a faulting variant loses
+                    del d
                     continue
-                del d
-            if meas:
-                sub = min(meas)[1]
-        dev, run = build(sub)
+                if winner is None or avg < winner[0]:
+                    winner = (avg, g, d, r)  # at most 2 devices alive
+                else:
+                    del d
+            if winner is not None:
+                _, sub, dev, run = winner
+        if dev is None:
+            dev, run = build(sub)
         if N == Np:
             fn = lambda B: run(dev, B)  # noqa: E731
         else:

@@ -171,7 +171,21 @@ def _pick_combine_chunk(R, N, csize, budget=12 * 2**20):
     return 128
 
 
-@functools.partial(jax.jit, static_argnames=("M", "R", "C", "interpret"))
+def _check_combine_tail(tptr, total_slots, C, what):
+    """The combine kernels' last chunk deliberately overruns past the last
+    tile into the layout's safety slots; a chunk larger than that tail
+    reads out of bounds.  Validated whenever ``tptr`` is concrete (the
+    jitted internal callers clamp C to the device's build-time chunk)."""
+    if isinstance(tptr, jax.core.Tracer):
+        return
+    tail = total_slots - int(np.asarray(tptr)[-1])
+    if tail < C:
+        raise ValueError(
+            f"{what}: chunk C={C} overruns the slot arrays — the layout "
+            f"carries only {tail} safety slots past the last tile; build "
+            f"with tile_aligned_layout(..., chunk>={C}) or pass C<={tail}")
+
+
 def mask_combine(tptr, rows2d, contribs, M, R=256, C=2048,
                  interpret=False):
     """CSR-ordered contributions -> [M, N] row sums.
@@ -179,9 +193,16 @@ def mask_combine(tptr, rows2d, contribs, M, R=256, C=2048,
     ``contribs`` is one [Spad, nt] slab or a tuple of ``ns`` of them
     (side-by-side lanes, one grid pass).  ``tptr``/``rows2d`` from
     ``tile_aligned_layout`` (row ids -1 on dead slots); M must be a
-    multiple of R."""
+    multiple of R.  ``C`` must not exceed the safety-slot tail the layout
+    was built with (checked when called with concrete arrays)."""
     cts = tuple(contribs) if isinstance(contribs, (tuple, list)) \
         else (contribs,)
+    _check_combine_tail(tptr, cts[0].shape[0], C, "mask_combine")
+    return _mask_combine_jit(tptr, rows2d, cts, M, R, C, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("M", "R", "C", "interpret"))
+def _mask_combine_jit(tptr, rows2d, cts, M, R, C, interpret):
     ns = len(cts)
     nt = cts[0].shape[1]
     N = ns * nt
@@ -399,7 +420,6 @@ def _pick_chunk(R, N, wsize, bsize, budget=12 * 2**20):
     return 128
 
 
-@functools.partial(jax.jit, static_argnames=("M", "R", "C", "interpret"))
 def dedup_combine(tptr, W, Bg, M, R=128, C=2048, interpret=False,
                   scale=None):
     """[Spad, R] weights x gathered B rows -> [M, N] row sums.
@@ -411,8 +431,16 @@ def dedup_combine(tptr, W, Bg, M, R=128, C=2048, interpret=False,
 
     With ``scale`` (a [1, N] per-lane dequant factor) Bg may be int8:
     values convert exactly to the W dtype for the dot and the fp32
-    accumulator is rescaled in the epilogue."""
+    accumulator is rescaled in the epilogue.  ``C`` must not exceed the
+    safety-slot tail the layout was built with (checked when called with
+    concrete arrays)."""
     bgs = tuple(Bg) if isinstance(Bg, (tuple, list)) else (Bg,)
+    _check_combine_tail(tptr, W.shape[0], C, "dedup_combine")
+    return _dedup_combine_jit(tptr, W, bgs, M, R, C, interpret, scale)
+
+
+@functools.partial(jax.jit, static_argnames=("M", "R", "C", "interpret"))
+def _dedup_combine_jit(tptr, W, bgs, M, R, C, interpret, scale):
     ns = len(bgs)
     nt = bgs[0].shape[1]
     N = ns * nt
@@ -624,14 +652,15 @@ def fell_slots(row_nnz: np.ndarray, w: int) -> tuple[int, int]:
     return n_virt, n_virt * w
 
 
-def choose_width(row_nnz: np.ndarray, n_cols: int,
-                 itemsize: int = 2) -> int:
-    """Pick W minimizing modeled gather + combine time."""
+def choose_width(row_nnz: np.ndarray, itemsize: int = 2) -> int:
+    """Pick W minimizing modeled gather + combine time per output column
+    (both model terms scale linearly in the operand width, so the argmin
+    is width-independent — the former n_cols parameter was dead weight
+    that accumulated K-vs-N confusion across call sites)."""
     best, best_w = float("inf"), WIDTHS[0]
     for w in WIDTHS:
         n_virt, slots = fell_slots(row_nnz, w)
-        t = slots * n_cols * itemsize / GATHER_BPS \
-            + n_virt * n_cols * 8 / SEGSUM_BPS
+        t = slots * itemsize / GATHER_BPS + n_virt * 8 / SEGSUM_BPS
         if t < best:
             best, best_w = t, w
     return best_w
@@ -666,7 +695,7 @@ class FellDevice:
                  dtype=jnp.float32) -> "FellDevice":
         """Vectorized build — no per-row python loops."""
         L = cmat.row_nnz.astype(np.int64)
-        w = width or choose_width(L, cmat.cols, jnp.dtype(dtype).itemsize)
+        w = width or choose_width(L, jnp.dtype(dtype).itemsize)
         nseg = -(-L // w)
         n_virt = max(int(nseg.sum()), 1)
         cols = np.zeros((n_virt, w), dtype=np.int32)

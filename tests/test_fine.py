@@ -15,12 +15,14 @@ from sparta_tpu.ops.fine import (
     FellDevice,
     FineDevice,
     choose_width,
+    dedup_combine,
     dedup_model_s,
     dedup_spmm,
     fell_slots,
     fell_spmm,
     fine_model_s,
     fine_spmm,
+    mask_combine,
     tile_aligned_layout,
 )
 
@@ -217,7 +219,7 @@ def test_fell_slots_and_width():
     n_virt, slots = fell_slots(L, 4)
     assert n_virt == 0 + 1 + 2 + 25
     assert slots == n_virt * 4
-    w = choose_width(L, 2048)
+    w = choose_width(L)
     assert w in (4, 8, 16, 32, 64)
 
 
@@ -310,3 +312,20 @@ def test_gather_chunking_matches_whole(monkeypatch):
                                         chunk=512)
     Cf = np.asarray(fine_mod.fine_spmm(fdev, jnp.asarray(B)))
     np.testing.assert_allclose(Cf, _dense_oracle(m, B), rtol=1e-3, atol=1e-3)
+
+
+def test_combine_chunk_overrun_rejected():
+    """A combine chunk larger than the layout's safety tail must be
+    rejected up front (the kernel's last chunk deliberately overruns into
+    the tail; oversized C would read out of bounds)."""
+    m = rmat_csr(8, edge_factor=4, seed=9)
+    dev = FineDevice.from_csr(m, dtype=jnp.float32, tile_rows=128, chunk=256)
+    contrib = jnp.zeros((dev.n_slots, 128), jnp.float32)
+    with pytest.raises(ValueError, match="safety slots"):
+        mask_combine(dev.tptr, dev.rows2d, contrib, dev.padded_rows,
+                     R=dev.tile_rows, C=2048)
+    ddev = DedupDevice.from_csr(m, dtype=jnp.float32, chunk=256)
+    bg = jnp.zeros((ddev.n_slots, 128), jnp.float32)
+    with pytest.raises(ValueError, match="safety slots"):
+        dedup_combine(ddev.tptr, ddev.W, bg, ddev.padded_rows,
+                      R=ddev.tile_rows, C=2048)

@@ -556,3 +556,22 @@ def test_transformer_trains_to_quality_and_decodes():
         if t >= prefix - 1:
             match = (np.asarray(tok) == np.asarray(tokens[:, t + 1])).mean()
             assert match > 0.85, (t, match)
+
+
+def test_decode_past_max_seq_poisons_logits():
+    """The KV cache holds max_seq slots; decoding past it cannot grow the
+    cache, and the K/V write would clamp onto the last slot — instead of
+    returning silently-wrong logits, decode_step poisons them with NaN."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, max_seq=8)
+    model = BlockSparseTransformer.create(cfg, jax.random.key(0))
+    params = model.init(jax.random.key(1))
+    cache = model.init_cache(batch=2)
+    step = jax.jit(model.decode_step)
+    tok = jnp.zeros((2,), jnp.int32)
+    for _ in range(cfg.max_seq):
+        lg, cache = step(params, tok, cache)
+        assert np.isfinite(np.asarray(lg)).all()
+    lg, cache = step(params, tok, cache)  # pos == max_seq: overrun
+    assert np.isnan(np.asarray(lg)).all()

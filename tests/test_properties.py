@@ -134,3 +134,26 @@ def test_empty_and_dense_rows(factory):
     np.testing.assert_allclose(C[5], B.sum(axis=0), rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(C[100], B[0], rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(C[0], 0.0)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_bell_padding_blocks_are_zero(seed):
+    """CLAUDE.md invariant, value half: block-alignment padding never
+    changes the result in the original range, padding blocks
+    (cols_idx == -1) carry EXACTLY-zero values, and padded output rows are
+    exactly zero (the gradient half lives in test_autodiff.py)."""
+    from sparta_tpu.formats import bell_from_csr
+    from sparta_tpu.ops import BellDevice, bell_spmm_xla, pad_b_for_bell
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(30, 100))  # deliberately NOT a block multiple
+    m = random_uniform_csr(n, n, density=0.05, seed=seed + 7)
+    bell = bell_from_csr(m, None, block_row_size=16)
+    assert bell.shape[0] % 16 == 0 and bell.shape[0] >= n
+    mask = np.asarray(bell.cols_idx) < 0
+    assert np.all(np.asarray(bell.vals)[mask] == 0)
+    B = rng.standard_normal((n, 16)).astype(np.float32)
+    C = np.asarray(
+        bell_spmm_xla(BellDevice.from_host(bell), pad_b_for_bell(B, bell)))
+    np.testing.assert_allclose(C[:n], m.to_scipy() @ B, rtol=1e-4, atol=1e-4)
+    assert np.all(C[n:] == 0)
