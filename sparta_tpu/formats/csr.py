@@ -305,12 +305,33 @@ def read_mtx(path: str | Path, pattern_only: bool = True) -> CSR:
             line = f.readline()
         header = line.split()
         rows, cols, nnz = int(header[0]), int(header[1]), int(header[2])
-        body = np.loadtxt(f, dtype=np.float64, ndmin=2, max_rows=nnz) if nnz else np.zeros((0, 3))
-    r = body[:, 0].astype(np.int64) - 1
-    c = body[:, 1].astype(np.int64) - 1
-    v = None
-    if not pattern_only and body.shape[1] > 2:
-        v = body[:, 2].astype(DATA)
+        r = c = v = None
+        try:
+            # the mtx coordinate body is the same triplet stream the native
+            # scanner parses (banner/comments are % lines it skips; the size
+            # header is the first data line) — np.loadtxt runs ~20x slower
+            # on SuiteSparse-scale files
+            from . import native_io
+
+            if native_io.available():
+                ri, ci, w, has_w3 = native_io.parse_edgelist(
+                    path, skip_first=1)
+                if ri.size < nnz:
+                    raise ValueError(
+                        f"mtx body truncated: header says {nnz} entries, "
+                        f"found {ri.size}")
+                r, c = ri[:nnz] - 1, ci[:nnz] - 1
+                if not pattern_only and has_w3:
+                    v = w[:nnz].astype(DATA)
+        except (RuntimeError, FileNotFoundError):
+            pass
+        if r is None:  # numpy fallback
+            body = np.loadtxt(f, dtype=np.float64, ndmin=2,
+                              max_rows=nnz) if nnz else np.zeros((0, 3))
+            r = body[:, 0].astype(np.int64) - 1
+            c = body[:, 1].astype(np.int64) - 1
+            if not pattern_only and body.shape[1] > 2:
+                v = body[:, 2].astype(DATA)
     if symmetric:
         mask = r != c
         r2 = np.concatenate((r, c[mask]))

@@ -256,3 +256,63 @@ def test_stencil_csr_structure():
 
     mb = stencil_csr((6, 6), pattern="box")
     assert np.diff(mb.to_scipy().indptr).max() == 9
+
+
+# ------------------------------------------------------------------ mtx ----
+def _write_mtx(tmp_path, banner, body):
+    p = tmp_path / "m.mtx"
+    p.write_text(banner + "\n% a comment\n" + body)
+    return p
+
+
+@pytest.fixture(params=["native", "numpy"])
+def _mtx_parser(request, monkeypatch):
+    """Run each mtx test through the native scanner AND the numpy
+    fallback — both must produce identical matrices."""
+    if request.param == "numpy":
+        import sparta_tpu.formats.native_io as nio
+
+        monkeypatch.setenv("SPARTA_TPU_NO_NATIVE", "1")
+        monkeypatch.setattr(nio, "_lib", None)
+        monkeypatch.setattr(nio, "_tried", False)
+    return request.param
+
+
+def test_read_mtx_general_weighted(tmp_path, _mtx_parser):
+    from sparta_tpu.formats import read_mtx
+
+    p = _write_mtx(
+        tmp_path, "%%MatrixMarket matrix coordinate real general",
+        "3 4 3\n1 2 5.5\n3 1 -2e-1\n2 4 7\n")
+    m = read_mtx(p, pattern_only=False)
+    assert m.shape == (3, 4) and m.nnz == 3
+    d = m.to_dense()
+    assert d[0, 1] == 5.5 and abs(d[2, 0] - -0.2) < 1e-12 and d[1, 3] == 7
+    # pattern-only read drops the weights (reference csr.cpp:318-321)
+    mp = read_mtx(p, pattern_only=True)
+    assert np.array_equal(mp.to_dense() != 0, d != 0)
+    assert set(np.unique(mp.to_dense())) <= {0.0, 1.0}
+
+
+def test_read_mtx_symmetric_banner(tmp_path, _mtx_parser):
+    from sparta_tpu.formats import read_mtx
+
+    p = _write_mtx(
+        tmp_path, "%%MatrixMarket matrix coordinate real symmetric",
+        "3 3 2\n2 1 4\n3 3 9\n")
+    m = read_mtx(p, pattern_only=False)
+    d = m.to_dense()
+    assert d[1, 0] == 4 and d[0, 1] == 4 and d[2, 2] == 9  # transpose added
+
+
+def test_read_mtx_truncated_body_raises(tmp_path):
+    from sparta_tpu.formats import read_mtx
+    from sparta_tpu.formats.native_io import available
+
+    if not available():
+        pytest.skip("native io unavailable")
+    p = _write_mtx(
+        tmp_path, "%%MatrixMarket matrix coordinate real general",
+        "3 3 5\n1 1 1\n2 2 2\n")
+    with pytest.raises(ValueError, match="truncated"):
+        read_mtx(p)
