@@ -14,7 +14,12 @@ from .gcn_sample import (
     seed_labels,
 )
 from .layers import BlockSparseLinear, make_block_mask
-from .train import lm_loss, make_sharded_train_step, make_train_step
+from .train import (
+    lm_loss,
+    make_sharded_decode,
+    make_sharded_train_step,
+    make_train_step,
+)
 from .transformer import BlockSparseTransformer, TransformerConfig
 
 __all__ = [
@@ -34,6 +39,7 @@ __all__ = [
     "TransformerConfig",
     "lm_loss",
     "make_block_mask",
+    "make_sharded_decode",
     "make_sharded_train_step",
     "make_train_step",
 ]

@@ -95,3 +95,41 @@ def make_sharded_train_step(
         return params, opt_state, loss
 
     return init_sharded, train_step
+
+
+def make_sharded_decode(model: BlockSparseTransformer, mesh: Mesh):
+    """Serving over a (dp, tp) mesh: returns ``(place, step)``.
+
+    ``place(params, cache, tokens)`` puts params Megatron-style
+    (``param_shardings``), the token batch over dp, and the per-layer K/V
+    rings over (dp on batch, tp on heads) — the qkv column split makes each
+    head group tp-local, so cache writes and per-head attention run without
+    collectives and GSPMD inserts the single all-reduce after the row-
+    parallel proj.  ``step`` is ``decode_step`` jitted with the cache
+    sharding pinned on its outputs so the rings never silently gather."""
+    tp = mesh.shape.get("tp", 1)
+    # heads shard over tp only when divisible (same guard as
+    # param_shardings' qkv rule); otherwise the rings replicate that axis
+    kv_sh = NamedSharding(
+        mesh, P("dp", "tp" if model.cfg.n_heads % tp == 0 else None,
+                None, None))
+    cache_sh = {
+        "pos": NamedSharding(mesh, P()),
+        "layers": [
+            {"k": kv_sh, "v": kv_sh}
+            for _ in range(model.cfg.n_layers)
+        ],
+    }
+
+    def place(params, cache, tokens):
+        params = jax.device_put(params, param_shardings(model, params, mesh))
+        cache = jax.device_put(cache, cache_sh)
+        tokens = jax.device_put(tokens, NamedSharding(mesh, P("dp")))
+        return params, cache, tokens
+
+    step = jax.jit(
+        model.decode_step,
+        out_shardings=(NamedSharding(mesh, P("dp", None)), cache_sh),
+        donate_argnums=(2,),  # the cache ring updates in place
+    )
+    return place, step

@@ -575,3 +575,43 @@ def test_decode_past_max_seq_poisons_logits():
         assert np.isfinite(np.asarray(lg)).all()
     lg, cache = step(params, tok, cache)  # pos == max_seq: overrun
     assert np.isnan(np.asarray(lg)).all()
+
+
+@pytest.mark.parametrize("attention", ["dense", "local"])
+def test_sharded_decode_matches_unsharded(attention):
+    """tp-sharded serving: decode_step jitted over the (dp, tp) mesh with
+    params Megatron-split and the K/V rings sharded (dp on batch, tp on
+    heads) must reproduce the unsharded decode logits exactly, and the
+    returned cache must KEEP the ring sharding (no silent gather)."""
+    import dataclasses
+
+    from sparta_tpu.models import make_sharded_decode
+    from sparta_tpu.parallel import make_mesh_2d
+
+    mesh = make_mesh_2d((2, 4), axes=("dp", "tp"))
+    cfg = dataclasses.replace(CFG, attention=attention, attn_window=1,
+                              attn_global_blocks=1)
+    model = BlockSparseTransformer.create(cfg, jax.random.key(0))
+    params = model.init(jax.random.key(1))
+    S, batch = 16, 4
+    tokens = jax.random.randint(jax.random.key(2), (batch, S), 0, cfg.vocab)
+
+    # unsharded reference decode
+    ref_cache = model.init_cache(batch=batch)
+    ref_step = jax.jit(model.decode_step)
+    ref_logits = []
+    for t in range(S):
+        lg, ref_cache = ref_step(params, tokens[:, t], ref_cache)
+        ref_logits.append(np.asarray(lg))
+
+    place, step = make_sharded_decode(model, mesh)
+    params_s, cache, tok0 = place(params, model.init_cache(batch=batch),
+                                  tokens[:, 0])
+    with jax.sharding.set_mesh(mesh):
+        for t in range(S):
+            lg, cache = step(params_s, tokens[:, t], cache)
+            np.testing.assert_allclose(np.asarray(lg), ref_logits[t],
+                                       rtol=2e-3, atol=2e-3)
+    # the K/V rings must still be sharded over (dp, tp)
+    k0 = cache["layers"][0]["k"]
+    assert "tp" in str(k0.sharding.spec), k0.sharding
