@@ -121,6 +121,65 @@ _NATBELL_TPS = 140e12
 DENSIFY_BYTES_CAP = 4 << 30
 
 
+def csr_model_table(cmat: CSR, N: int, dtype=jnp.float32):
+    """Modeled seconds per call for every unstructured-SpMM candidate —
+    the single source csr_spmm_auto selects from (and `tools plan`
+    prints).  Returns (table, aux): table maps candidate name ->
+    seconds (inf = disqualified); aux carries the selector's derived
+    inputs (fell_w, natural-128 nonzero blocks, dedup's distinct-pair
+    count when it was priced)."""
+    from .fine import (
+        choose_width,
+        dedup_model_s,
+        fell_model_s,
+        fine_model_s,
+    )
+
+    M, K = cmat.shape
+    Np = round_up(N, 128)
+    # natural fixed 128-blocking stats straight from signatures (cheap)
+    from ..reorder.signatures import block_signatures
+
+    sigs = block_signatures(cmat, 128)
+    group_bits = np.bitwise_or.reduceat(
+        sigs, np.arange(0, M, 128), axis=0) if M else sigs[:0]
+    nzb = int(np.bitwise_count(group_bits).sum())
+
+    t_dense = 2 * M * K * N / _DENSE_TPS
+    if M * K * jnp.dtype(dtype).itemsize > DENSIFY_BYTES_CAP:
+        t_dense = float("inf")  # densified A would not fit device memory
+    t_natbell = 2 * nzb * 128 * 128 * Np / _NATBELL_TPS
+    itemsize = jnp.dtype(dtype).itemsize
+    t_fine = fine_model_s(cmat.nnz, M, Np, itemsize=itemsize)
+    if cmat.nnz * Np * itemsize > DENSIFY_BYTES_CAP:
+        # the mask-combine materializes [slots, N] contributions in HBM
+        t_fine = float("inf")
+    fell_w = choose_width(cmat.row_nnz, itemsize)
+    t_fell = fell_model_s(cmat.row_nnz, fell_w, Np, itemsize=itemsize)
+    # the dedup candidate needs the distinct (128-row-tile, column) pair
+    # count — an O(nnz log nnz) host sort.  Price it lazily: n_uniq >=
+    # nnz/128 (at most 128 tile rows share a column), so if even that
+    # best case loses to a cheap candidate, skip the sort entirely.
+    n_uniq = None
+    t_dedup_lb = dedup_model_s(max(cmat.nnz // 128, 1), M, Np,
+                               itemsize=itemsize)
+    if t_dedup_lb < min(t_dense, t_natbell, t_fine, t_fell):
+        rows_r = np.repeat(np.arange(M, dtype=np.int64) >> 7, cmat.row_nnz)
+        n_uniq = np.unique(rows_r * np.int64(K) + cmat.indices).size
+        t_dedup = dedup_model_s(n_uniq, M, Np, itemsize=itemsize)
+        # the dense-W operand is [slots, 128] — 128x the raw values; on
+        # ~100M-nnz graphs it outgrows HBM while the fine path's [slots]
+        # values do not.  Disqualify dedup past the device-memory cap.
+        if n_uniq * 128 * itemsize > DENSIFY_BYTES_CAP:
+            t_dedup = float("inf")
+    else:
+        t_dedup = float("inf")
+    table = {"dense": t_dense, "natbell128": t_natbell, "fine": t_fine,
+             "dedup": t_dedup, "fell": t_fell}
+    return table, {"fell_w": fell_w, "natural_nzblocks": nzb,
+                   "dedup_n_uniq": n_uniq}
+
+
 def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
                   autotune: bool = False):
     """Best unstructured-sparse SpMM for a raw CSR — NO reordering.
@@ -151,54 +210,18 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
         DedupDevice,
         FellDevice,
         FineDevice,
-        choose_width,
-        dedup_model_s,
         dedup_spmm,
-        fell_model_s,
         fell_spmm,
-        fine_model_s,
         fine_spmm,
     )
     from .select import plan_spmm
 
     M, K = cmat.shape
     Np = round_up(N, 128)
-    # natural fixed 128-blocking stats straight from signatures (cheap)
-    from ..reorder.signatures import block_signatures
-
-    sigs = block_signatures(cmat, 128)
-    group_bits = np.bitwise_or.reduceat(
-        sigs, np.arange(0, M, 128), axis=0) if M else sigs[:0]
-    nzb = int(np.bitwise_count(group_bits).sum())
-
-    t_dense = 2 * M * K * N / _DENSE_TPS
-    if M * K * jnp.dtype(dtype).itemsize > DENSIFY_BYTES_CAP:
-        t_dense = float("inf")  # densified A would not fit device memory
-    t_natbell = 2 * nzb * 128 * 128 * Np / _NATBELL_TPS
-    itemsize = jnp.dtype(dtype).itemsize
-    t_fine = fine_model_s(cmat.nnz, M, Np, itemsize=itemsize)
-    if cmat.nnz * Np * itemsize > DENSIFY_BYTES_CAP:
-        # the mask-combine materializes [slots, N] contributions in HBM
-        t_fine = float("inf")
-    fell_w = choose_width(cmat.row_nnz, itemsize)
-    t_fell = fell_model_s(cmat.row_nnz, fell_w, Np, itemsize=itemsize)
-    # the dedup candidate needs the distinct (128-row-tile, column) pair
-    # count — an O(nnz log nnz) host sort.  Price it lazily: n_uniq >=
-    # nnz/128 (at most 128 tile rows share a column), so if even that
-    # best case loses to a cheap candidate, skip the sort entirely.
-    t_dedup_lb = dedup_model_s(max(cmat.nnz // 128, 1), M, Np,
-                               itemsize=itemsize)
-    if t_dedup_lb < min(t_dense, t_natbell, t_fine, t_fell):
-        rows_r = np.repeat(np.arange(M, dtype=np.int64) >> 7, cmat.row_nnz)
-        n_uniq = np.unique(rows_r * np.int64(K) + cmat.indices).size
-        t_dedup = dedup_model_s(n_uniq, M, Np, itemsize=itemsize)
-        # the dense-W operand is [slots, 128] — 128x the raw values; on
-        # ~100M-nnz graphs it outgrows HBM while the fine path's [slots]
-        # values do not.  Disqualify dedup past the device-memory cap.
-        if n_uniq * 128 * itemsize > DENSIFY_BYTES_CAP:
-            t_dedup = float("inf")
-    else:
-        t_dedup = float("inf")
+    table, aux = csr_model_table(cmat, N, dtype)
+    t_dense, t_natbell = table["dense"], table["natbell128"]
+    t_fine, t_dedup, t_fell = table["fine"], table["dedup"], table["fell"]
+    fell_w = aux["fell_w"]
 
     best = min(t_dense, t_natbell, t_fine, t_dedup, t_fell)
     if best in (t_fine, t_dedup, t_fell):

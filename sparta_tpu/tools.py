@@ -8,6 +8,7 @@ programs (SURVEY §2.5), as subcommands:
   sweep                           : grid sweep with skip-if-exists resume
   collect     ≡ collect_experiments.sh : concatenate per-run CSVs
   plot                            : blocking-quality / SpMM-time figures
+  plan                            : explain the kernel selector's choice
 
 Usage: python -m sparta_tpu.tools <subcommand> [args]
 """
@@ -244,6 +245,61 @@ def cmd_compare(args):
     print(f"wrote comparison artifacts to {out}")
 
 
+def cmd_plan(args):
+    """Explain what the selectors would run for a matrix: the unstructured
+    csr_spmm_auto candidate table (same csr_model_table the selector uses)
+    and, for the blocked path, plan_spmm's ranked kernel candidates on the
+    natural (or reordered) blocking."""
+    import jax.numpy as jnp
+
+    from .definitions import round_up
+    from .formats import bell_from_csr, read_matrix
+    from .ops.csr_spmm import csr_model_table
+    from .ops.select import _candidate_plans
+
+    m = read_matrix(args.matrix, pattern_only=True)
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+             "int8": jnp.bfloat16, "fp8": jnp.bfloat16}[args.dtype]
+    N = args.b_cols
+    print(f"{args.matrix}: {m.rows}x{m.cols} nnz={m.nnz} "
+          f"fill={m.nnz / max(m.rows * m.cols, 1):.4%}  N={N} {args.dtype}")
+
+    table, aux = csr_model_table(m, N, dtype)
+    chosen = min(table, key=table.get)
+    print(f"\nunstructured (csr_spmm_auto) candidates "
+          f"[natural-128 nzblocks={aux['natural_nzblocks']}, "
+          f"fell_w={aux['fell_w']}"
+          + (f", dedup distinct pairs={aux['dedup_n_uniq']}"
+             if aux["dedup_n_uniq"] is not None else "") + "]:")
+    for name, sec in sorted(table.items(), key=lambda kv: kv[1]):
+        mark = " <- chosen" if name == chosen else ""
+        val = "disqualified" if sec == float("inf") else f"{sec * 1e3:9.3f} ms"
+        print(f"  {name:12s} {val}{mark}")
+
+    grouping = None
+    if args.tau is not None:
+        from .definitions import BlockingType
+        from .reorder import BlockingEngine
+
+        eng = BlockingEngine(tau=args.tau, col_block_size=args.block,
+                             row_block_size=args.block,
+                             blocking_algo=BlockingType(args.algo),
+                             force_fixed_size=True)
+        grouping = eng.get_grouping(m)
+        print(f"\nreordered blocking (algo {args.algo}, tau={args.tau}):")
+    else:
+        print("\nnatural blocking (pass --tau to reorder first):")
+    bell = bell_from_csr(m, grouping, block_row_size=args.block,
+                         block_col_size=args.block)
+    cands, chunk = _candidate_plans(bell, round_up(N, 128), dtype, 0)
+    print(f"  {bell.total_nzblocks} nonzero {args.block}-blocks, "
+          f"unroll chunk={chunk}")
+    for sec, kind, tn, parts in cands:
+        extra = f" x{parts} parts" if parts > 1 else ""
+        print(f"  {kind:10s} tn={tn:<4d}{extra:10s} {sec * 1e3:9.3f} ms"
+              + (" <- chosen" if (sec, kind, tn, parts) == cands[0] else ""))
+
+
 def cmd_sweep(args):
     from .bench.sweep import run_sweep
     from .cli import Config
@@ -367,6 +423,17 @@ def build_parser():
     pl.add_argument("csv")
     pl.add_argument("--out-dir", default="results/plots")
     pl.set_defaults(fn=cmd_plot)
+
+    pn = sub.add_parser("plan", help="explain the kernel selector's choice")
+    pn.add_argument("matrix")
+    pn.add_argument("-c", "--b-cols", type=int, default=2048)
+    pn.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16", "int8", "fp8"])
+    pn.add_argument("-b", "--block", type=int, default=128)
+    pn.add_argument("-t", "--tau", type=float, default=None,
+                    help="reorder first (algo --algo) at this tau")
+    pn.add_argument("-a", "--algo", type=int, default=3)
+    pn.set_defaults(fn=cmd_plan)
     return p
 
 

@@ -281,3 +281,15 @@ def test_collect_csvs_merges_mixed_schemas(tmp_path):
     rows = list(csv.DictReader((tmp_path / "all.csv").open()))
     assert rows[0]["backend"] == "bell" and rows[0]["counter_domain"] == ""
     assert rows[1]["rel_err"] == "0.001"
+
+
+def test_plan_subcommand(matrix_file, capsys):
+    from sparta_tpu.tools import main
+
+    main(["plan", matrix_file, "-c", "256", "-b", "3"])
+    out = capsys.readouterr().out
+    assert "unstructured (csr_spmm_auto) candidates" in out
+    assert "<- chosen" in out
+    main(["plan", matrix_file, "-c", "256", "-b", "3", "-t", "0.5"])
+    out = capsys.readouterr().out
+    assert "reordered blocking (algo 3, tau=0.5)" in out
