@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--out", default="results/fine_bench.json")
     ap.add_argument("--graphs", default="",
                     help="comma-separated subset: wikiquote,social,rmat17")
-    ap.add_argument("--cells", default="bcoo,fell,fine,dedup,dedup_int8,auto")
+    ap.add_argument("--cells", default="bcoo,fell,fine,fine_int8,dedup,dedup_int8,auto")
     args = ap.parse_args()
 
     import jax
@@ -114,9 +114,12 @@ def main():
             cell("fell", lambda b: fell_spmm(fdev, b))
             del fdev
 
-        if "fine" in cells_on:
+        if "fine" in cells_on or "fine_int8" in cells_on:
             dev = FineDevice.from_csr(m, dtype=jnp.bfloat16)
-            t_fine = cell("fine", lambda b: fine_spmm(dev, b))
+            if "fine" in cells_on:
+                t_fine = cell("fine", lambda b: fine_spmm(dev, b))
+            if "fine_int8" in cells_on:
+                cell("fine_int8", lambda b: fine_spmm(dev, b, b_int8=True))
             del dev
 
         if "dedup" in cells_on or "dedup_int8" in cells_on:

@@ -293,17 +293,30 @@ class FineDevice:
         )
 
 
-@functools.partial(jax.jit, static_argnames=("gchunk",))
+@functools.partial(jax.jit, static_argnames=("b_int8", "gchunk"))
 def _fine_spmm(dev: FineDevice, B: jax.Array,
+               b_int8: bool = False,
                gchunk: int | None = None) -> jax.Array:
     nt = _pick_slab(B.shape[1])
     Mpad = dev.padded_rows
     contribs = []
     for s in range(B.shape[1] // nt):
         bs = jax.lax.slice_in_dim(B, s * nt, (s + 1) * nt, axis=1)
-        # fused gather+scale: the only random access, at the slab sweet spot
-        contribs.append(dev.vals[:, None] * _take_rows(
-            bs, dev.cols, gchunk).astype(dev.vals.dtype))
+        if b_int8:
+            # per-lane symmetric quantization halves the gather bytes (the
+            # dominant cost, same trick as dedup_spmm); the dequant scale
+            # fuses into the gather-consuming elementwise multiply
+            amax = jnp.max(jnp.abs(bs.astype(jnp.float32)), axis=0,
+                           keepdims=True)
+            scale = jnp.where(amax > 0, amax, 1.0) / 127.0
+            bq = jnp.round(bs.astype(jnp.float32) / scale).astype(jnp.int8)
+            g = _take_rows(bq, dev.cols, gchunk).astype(dev.vals.dtype) \
+                * scale.astype(dev.vals.dtype)
+        else:
+            # fused gather+scale: the only random access, at the slab
+            # sweet spot
+            g = _take_rows(bs, dev.cols, gchunk).astype(dev.vals.dtype)
+        contribs.append(dev.vals[:, None] * g)
     # one wide-N combine: all slabs in a single grid pass
     C = min(dev.chunk, _pick_combine_chunk(
         dev.tile_rows, B.shape[1], contribs[0].dtype.itemsize))
@@ -312,10 +325,12 @@ def _fine_spmm(dev: FineDevice, B: jax.Array,
     return out[: dev.rows].astype(B.dtype)
 
 
-def fine_spmm(dev: FineDevice, B: jax.Array) -> jax.Array:
+def fine_spmm(dev: FineDevice, B: jax.Array,
+              b_int8: bool = False) -> jax.Array:
     """C = A @ B for a FineDevice-packed A.  B [K, N] (N a multiple of
-    128); returns [rows, N]."""
-    return _fine_spmm(dev, B, gchunk=GATHER_CHUNK_ROWS)
+    128); returns [rows, N].  ``b_int8`` gathers a per-lane int8
+    quantization of B (half the gather traffic, ~1e-3 relative error)."""
+    return _fine_spmm(dev, B, b_int8=b_int8, gchunk=GATHER_CHUNK_ROWS)
 
 
 def fine_model_s(nnz: int, n_rows: int, N: int, tile_rows: int = 256,
