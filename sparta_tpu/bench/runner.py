@@ -8,6 +8,7 @@ reference's collation/plotting layer applies unchanged.
 """
 from __future__ import annotations
 
+import functools
 import os
 import time
 from pathlib import Path
@@ -116,17 +117,20 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
             from ..ops import fine as _fine
 
             Np = round_up(N, 128)
+            # --dtype int8 on the fine family = int8-GATHERED B (the
+            # gather is the dominant cost there); fell has no int8 leg
+            q = cfg.dtype == "int8" and impl != "fell"
             if impl == "fell":
                 fdev = _fine.FellDevice.from_csr(m, dtype=dtype)
                 run = _fine.fell_spmm
             elif impl == "dedup":
                 fdev = _fine.DedupDevice.from_csr(m, dtype=dtype)
-                run = _fine.dedup_spmm
+                run = functools.partial(_fine.dedup_spmm, b_int8=q)
             else:
                 fdev = _fine.FineDevice.from_csr(m, dtype=dtype)
-                run = _fine.fine_spmm
+                run = functools.partial(_fine.fine_spmm, b_int8=q)
             return ((lambda B: run(fdev, B)), (m.cols, Np),
-                    f"csr_{impl}", 2 * m.nnz * Np)
+                    f"csr_{impl}" + ("_int8" if q else ""), 2 * m.nnz * Np)
         from ..ops.csr_spmm import csr_spmm_auto
 
         fn, name, flops = csr_spmm_auto(

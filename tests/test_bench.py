@@ -344,3 +344,23 @@ def test_sweep_adopts_legacy_hash_cells(matrix_file, tmp_path):
     other = Config(**{**base.__dict__, "tau": 0.5})
     rows3 = run_sweep([matrix_file], {}, tmp_path, base=other)
     assert cur.exists() and len(rows3) == 1
+
+
+@pytest.mark.parametrize("impl", ["fine", "dedup"])
+def test_csr_impl_int8_gathered(tmp_path, impl):
+    """-M 2 --dtype int8 with an explicit fine-family impl runs the
+    int8-GATHERED B variant, reported as csr_<impl>_int8 with the
+    quantized-accuracy rel_err column populated."""
+    from sparta_tpu.bench.runner import run_experiment
+    from sparta_tpu.formats.csr import rmat_csr
+
+    m = rmat_csr(9, edge_factor=4, seed=8)
+    path = tmp_path / "g.el"
+    m.save_to_edgelist(path)
+    cfg = Config(filename=str(path), blocking_algo=2, force_fixed_size=True,
+                 multiplication_algo=2, b_cols=256, csr_impl=impl,
+                 dtype="int8", exp_repetitions=2, warmup=0, inner_iters=2,
+                 outfile=str(tmp_path / "c.csv"))
+    row = run_experiment(cfg)
+    assert row["backend"] == f"csr_{impl}_int8"
+    assert 0 < row["rel_err"] < 1e-2
