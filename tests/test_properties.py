@@ -63,8 +63,29 @@ def _spmm_backends():
 
         return run
 
+    def bell_unrolled(m):
+        """The flagship guard-free unrolled Pallas kernel (interpret mode on
+        CPU) — the one production backend the property matrix was missing."""
+        from sparta_tpu.ops.bell_compact import (
+            bell_spmm_pallas_compact_unrolled,
+            compact_from_host_padded,
+        )
+
+        bell = bell_from_csr(m, None, block_row_size=128)
+        cdev = compact_from_host_padded(bell, chunk=2, dtype=jnp.float32)
+
+        def run(B):
+            Bp = np.zeros((bell.shape[1], max(-(-B.shape[1] // 128) * 128,
+                                              128)), B.dtype)
+            Bp[: m.cols, : B.shape[1]] = B
+            out = np.asarray(bell_spmm_pallas_compact_unrolled(
+                cdev, jnp.asarray(Bp), tn=128, chunk=2))
+            return out[: m.rows, : B.shape[1]]
+
+        return run
+
     return [("fine", fine), ("dedup", dedup), ("fell", fell), ("ell", ell),
-            ("bell_natural", bell_natural)]
+            ("bell_natural", bell_natural), ("bell_unrolled", bell_unrolled)]
 
 
 BACKENDS = _spmm_backends()
