@@ -20,6 +20,8 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from sparta_tpu.bench.results import write_result  # noqa: E402
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -115,8 +117,7 @@ def main():
             row["speedup"] = round(t_d / t_sp, 2)
             log(f"T={T} speedup: {row['speedup']}x")
         out[f"T{T}"] = row
-        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
-        Path(args.out).write_text(json.dumps(out, indent=1))
+        write_result(args.out, out, quick=args.quick, hw_only=True)
 
     print(json.dumps(out))
 

@@ -183,8 +183,8 @@ def main():
             results[name] = {"error": f"{type(e).__name__}: {str(e)[:150]}"}
             log(f"{name:14s}: FAILED {type(e).__name__}: {str(e)[:150]}")
 
-    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
-    Path(args.out).write_text(json.dumps(results, indent=1))
+    from sparta_tpu.bench.results import write_result
+    write_result(args.out, results, quick=args.quick, hw_only=True)
     print(json.dumps(results))
 
 

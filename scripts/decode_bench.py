@@ -93,8 +93,8 @@ def main():
     if "ms" in out.get("dense", {}) and "ms" in out.get("local", {}):
         out["local_speedup"] = round(
             out["dense"]["ms"] / out["local"]["ms"], 2)
-    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
-    Path(args.out).write_text(json.dumps(out, indent=1))
+    from sparta_tpu.bench.results import write_result
+    write_result(args.out, out, quick=args.quick, hw_only=True)
     print(json.dumps(out))
 
 

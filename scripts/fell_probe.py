@@ -88,16 +88,20 @@ def main():
             log(f"csr_bcoo       : {avg_b*1e3:9.3f} ms "
                 f"({flops/avg_b/1e12:6.3f} TF/s eff, std {std_b*1e3:.3f})")
             row["bcoo_ms"] = round(avg_b * 1e3, 3)
+            # MEASURED times only — the r3 artifact's 4.83x came from this
+            # min() also matching the `fell_w*_model_ms` estimate keys.
             best_fell = min(v for k, v in row.items()
-                            if k.startswith("fell_w") and k.endswith("_ms"))
+                            if k.startswith("fell_w") and k.endswith("_ms")
+                            and "model" not in k)
             row["fell_vs_bcoo"] = round(row["bcoo_ms"] / best_fell, 2)
             log(f"fell vs bcoo   : {row['fell_vs_bcoo']}x")
         except Exception as e:  # noqa: BLE001
             log(f"bcoo failed: {e}")
         out[name] = row
 
-    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
-    Path(args.out).write_text(json.dumps(out, indent=1))
+    from sparta_tpu.bench.results import write_result
+
+    write_result(args.out, out, quick=args.quick, hw_only=True)
     print(json.dumps(out))
 
 

@@ -251,8 +251,8 @@ def main():
             log(f"C fine-mask vs bcoo: {t3/t1:.2f}x")
             out["C_speedup_vs_bcoo"] = round(t3 / t1, 2)
 
-    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
-    Path(args.out).write_text(json.dumps(out, indent=1))
+    from sparta_tpu.bench.results import write_result
+    write_result(args.out, out, quick=args.quick, hw_only=True)
     print(json.dumps(out))
 
 

@@ -34,6 +34,7 @@ def main():
     import jax.numpy as jnp
 
     from sparta_tpu.bench.device import require_device
+    from sparta_tpu.bench.results import write_result
     from sparta_tpu.bench.timing import time_op
 
     require_device()
@@ -52,7 +53,7 @@ def main():
         except Exception as e:  # noqa: BLE001
             log(f"{name:34}: FAILED {type(e).__name__}: {str(e)[:160]}")
             out[name] = {"error": str(e)[:160]}
-        outp.write_text(json.dumps(out, indent=1))
+        write_result(outp, out, hw_only=True)
 
     # ------------------------------------------------------------- A --
     K, S = 131072, 1 << 20

@@ -219,8 +219,8 @@ def main():
         log(f"g5: FAILED {type(e).__name__}: {str(e)[:300]}")
         out["g5"] = {"error": str(e)[:300]}
 
-    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
-    Path(args.out).write_text(json.dumps(out, indent=1))
+    from sparta_tpu.bench.results import write_result
+    write_result(args.out, out, quick=args.quick, hw_only=True)
     print(json.dumps(out))
 
 

@@ -268,8 +268,8 @@ def main():
              lambda b, c=cpad, ch=chunk: dbout(c, b, tn=512, chunk=ch),
              B, flops, ref)
 
-    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
-    Path(args.out).write_text(json.dumps(out, indent=1))
+    from sparta_tpu.bench.results import write_result
+    write_result(args.out, out, quick=args.quick, hw_only=True)
     print(json.dumps(out))
 
 

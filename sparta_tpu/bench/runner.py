@@ -33,8 +33,10 @@ REFERENCE_COLUMNS = [
     "merge_counter", "comparison_counter", "average_merge_tau", "average_row_distance",
     "avg_time_multiply", "std_time_multiply",
 ]
+# append-only: consumers key by name (see CLAUDE.md invariants)
 EXTRA_COLUMNS = ["backend", "dtype", "gflops", "nnz_per_s",
-                 "effective_tflops", "rel_err", "counter_domain"]
+                 "effective_tflops", "rel_err", "counter_domain",
+                 "csr_impl", "tile_n", "inner_iters", "autotune"]
 
 BELL_ALGOS = {
     MultiplicationAlgo.bell_xla,
@@ -383,6 +385,12 @@ def run_experiment(cfg) -> dict:
     # extras (reference derived-metric definitions, multiplication_barplots.py:515)
     row["backend"] = backend_name
     row["dtype"] = cfg.dtype
+    # late-added knobs stamped so sweep-cell adoption can tell apart cells
+    # that differ only in these (sweep._LATE_IDENTITY)
+    row["csr_impl"] = getattr(cfg, "csr_impl", "auto")
+    row["tile_n"] = int(getattr(cfg, "tile_n", 0))
+    row["inner_iters"] = int(getattr(cfg, "inner_iters", 0))
+    row["autotune"] = int(bool(getattr(cfg, "autotune", False)))
     # hash_greedy (extension algo 7) counts comparisons/merges on its
     # dedup-reduced problem, so its counter columns are NOT comparable
     # with algos 0-5's full-domain counts; flag the domain per row
@@ -415,6 +423,14 @@ def run_experiment(cfg) -> dict:
                                                      fam.group(1)))
         fn32, shape32, _, _ = make_backend(cfg32, m, engine)
         Bq = np.asarray(B, np.float32)
+        # the contraction dim (K) must not shrink: computing the fp32
+        # reference on a truncated B would make rel_err silently
+        # meaningless rather than erroring
+        if shape32[0] < Bq.shape[0]:
+            raise ValueError(
+                f"rel_err oracle: fp32 backend B rows {shape32[0]} < "
+                f"quantized backend B rows {Bq.shape[0]} — contraction "
+                "dims must match")
         B32 = np.zeros(shape32, np.float32)
         B32[: min(shape32[0], Bq.shape[0]),
             : min(shape32[1], Bq.shape[1])] = Bq[: shape32[0], : shape32[1]]

@@ -118,23 +118,38 @@ _CELL_IDENTITY = (
     ("exp_repetitions", "exp_repetitions"),
 )
 
+# Knobs added after the original row schema.  A legacy row (written before
+# the knob existed in rows) can only have been produced by the knob's
+# DEFAULT value, so: row has the field -> exact match required; row lacks
+# it -> adopt only when cfg holds the default.  Without this, a grid over
+# e.g. csr_impl=[fine,dedup] could adopt (rename) a sibling cell that
+# differs only in csr_impl and silently record one impl's results under
+# the other's hash.
+_LATE_IDENTITY = ("dtype", "csr_impl", "tile_n", "inner_iters", "autotune")
+_CFG_DEFAULTS = {f.name: f.default for f in dataclasses.fields(Config)}
+
+
+def _value_matches(want, got) -> bool:
+    if isinstance(want, float):
+        return abs(float(got) - want) <= 1e-12
+    if isinstance(want, str):
+        return str(got) == want
+    return int(got) == int(want)
+
 
 def _row_matches(row: dict, cfg: Config) -> bool:
     for cf, rf in _CELL_IDENTITY:
         if rf not in row:
             return False
-        want, got = getattr(cfg, cf), row[rf]
-        if isinstance(want, float):
-            if abs(float(got) - want) > 1e-12:
-                return False
-        elif isinstance(want, str):
-            if str(got) != want:
-                return False
-        elif int(got) != int(want):
+        if not _value_matches(getattr(cfg, cf), row[rf]):
             return False
-    # dtype entered the row extras later; match when both sides have it
-    if "dtype" in row and str(row["dtype"]) != cfg.dtype:
-        return False
+    for cf in _LATE_IDENTITY:
+        want = getattr(cfg, cf)
+        if cf in row:
+            if not _value_matches(want, row[cf]):
+                return False
+        elif want != _CFG_DEFAULTS[cf]:
+            return False
     return True
 
 

@@ -59,8 +59,11 @@ def param_shardings(model: BlockSparseTransformer, params, mesh: Mesh):
             # block-columns of the down projection follow ffn_up's rows;
             # sharding vals on max_nb (ragged) is unsound -> replicate rows
             return NamedSharding(mesh, P(None, None, None, None))
-        if "qkv" in names and leaf.shape[-1] % tp == 0:
-            # column-parallel: out dim = 3*d_model splits head groups
+        if ("qkv" in names and leaf.shape[-1] % tp == 0
+                and model.cfg.n_heads % tp == 0):
+            # column-parallel: the qkv out dim is head-major [h, 3, dh]
+            # (transformer._attn), so a contiguous tp chunk = whole head
+            # groups and the per-head attention math stays tp-local
             return NamedSharding(
                 mesh, P(None, "tp") if names[-1] == "w" else P("tp"))
         if "proj" in names and names[-1] == "w" and leaf.shape[0] % tp == 0:

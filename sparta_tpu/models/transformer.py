@@ -109,8 +109,13 @@ class BlockSparseTransformer:
     def _attn(lp, x, cfg):
         b, s, d = x.shape
         h = cfg.n_heads
-        qkv = dense_apply(lp["qkv"], x).reshape(b, s, 3, h, d // h)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # qkv output columns are HEAD-MAJOR [h, 3, dh]: a contiguous tp
+        # split of the 3*d_model axis then owns whole head groups, so
+        # per-head attention and KV-cache writes run tp-local (a [3, h, dh]
+        # layout would make every tp shard cross q/k/v boundaries and force
+        # GSPMD reshards per layer)
+        qkv = dense_apply(lp["qkv"], x).reshape(b, s, h, 3, d // h)
+        q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
         if cfg.attention == "local":
             from ..ops.attention import block_sparse_attention, build_block_mask
 
@@ -178,8 +183,9 @@ class BlockSparseTransformer:
                 | (kt < cfg.attn_global_blocks)
         for i, lp in enumerate(params["layers"]):
             xa = layernorm_apply(lp["ln1"], x)  # rank-agnostic (last dim)
-            qkv = dense_apply(lp["qkv"], xa).reshape(-1, 3, h, dh)
-            q, k_new, v_new = qkv[:, 0], qkv[:, 1], qkv[:, 2]
+            # head-major [h, 3, dh] layout — see _attn
+            qkv = dense_apply(lp["qkv"], xa).reshape(-1, h, 3, dh)
+            q, k_new, v_new = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
             ck = jax.lax.dynamic_update_slice_in_dim(
                 cache["layers"][i]["k"], k_new.astype(dtype)[:, :, None, :],
                 pos, axis=2)

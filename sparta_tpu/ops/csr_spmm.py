@@ -223,8 +223,10 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
     t_fine, t_dedup, t_fell = table["fine"], table["dedup"], table["fell"]
     fell_w = aux["fell_w"]
 
-    best = min(t_dense, t_natbell, t_fine, t_dedup, t_fell)
-    if best in (t_fine, t_dedup, t_fell):
+    # explicit argmin over candidate NAMES (float-equality membership tests
+    # mis-resolve exact ties, e.g. dense == fine or inf == inf)
+    best_name = min(table, key=table.get)
+    if best_name in ("fine", "dedup", "fell"):
         def build(tag):
             if tag == "dedup":
                 return DedupDevice.from_csr(cmat, dtype=dtype), dedup_spmm
@@ -268,7 +270,7 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
             fn = lambda B: run(  # noqa: E731
                 dev, jnp.pad(B, ((0, 0), (0, Np - N))))[:, :N]
         return fn, f"csr_auto_fine[{sub}]", 2 * cmat.nnz * Np
-    if best == t_dense:
+    if best_name == "dense":
         A = to_device(cmat.to_dense(), dtype)
         return (lambda B: dense_matmul(A, B)), "csr_auto_dense", 2 * M * K * N
     bell = bell_from_csr(cmat, None, block_row_size=128, block_col_size=128)

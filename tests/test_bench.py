@@ -346,6 +346,48 @@ def test_sweep_adopts_legacy_hash_cells(matrix_file, tmp_path):
     assert cur.exists() and len(rows3) == 1
 
 
+def test_adoption_distinguishes_late_knobs(matrix_file, tmp_path):
+    """ADVICE r3: a cell differing ONLY in csr_impl/tile_n/inner_iters/
+    autotune/dtype must never be adopted (renamed) as a sibling's cache —
+    a grid over csr_impl=[fine,dedup] would otherwise record one impl's
+    results under the other's hash and delete the first's artifacts."""
+    import dataclasses
+    import json
+
+    from sparta_tpu.bench.sweep import _row_matches, config_hash, run_sweep
+
+    base = Config(exp_name="lateknob", multiplication_algo=0, b_cols=128,
+                  tau=0.2, row_block_size=3, col_block_size=3,
+                  csr_impl="fine")
+    rows = run_sweep([matrix_file], {}, tmp_path, base=base)
+    assert rows and rows[0]["csr_impl"] == "fine"
+    stem = matrix_file.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+    cfg_fine = dataclasses.replace(base, filename=str(matrix_file))
+    fine_cell = tmp_path / f"{stem}_{config_hash(cfg_fine)}.json"
+    assert fine_cell.exists()
+    # the sibling config differing only in a late knob must NOT match
+    row = json.loads(fine_cell.read_text())
+    for variant in (dataclasses.replace(cfg_fine, csr_impl="dedup"),
+                    dataclasses.replace(cfg_fine, tile_n=256),
+                    dataclasses.replace(cfg_fine, inner_iters=4),
+                    dataclasses.replace(cfg_fine, autotune=True),
+                    dataclasses.replace(cfg_fine, dtype="bfloat16")):
+        assert not _row_matches(row, variant)
+    assert _row_matches(row, cfg_fine)
+    # a LEGACY row (pre-knob schema) is adopted only by the default config
+    legacy = {k: v for k, v in row.items()
+              if k not in ("csr_impl", "tile_n", "inner_iters", "autotune",
+                           "dtype")}
+    assert not _row_matches(legacy, cfg_fine)          # non-default knob
+    cfg_default = dataclasses.replace(cfg_fine, csr_impl="auto")
+    assert _row_matches(legacy, cfg_default)
+    # end-to-end: the dedup sibling run leaves the fine cell untouched
+    rows2 = run_sweep([matrix_file], {"csr_impl": ["dedup"]}, tmp_path,
+                      base=base)
+    assert fine_cell.exists()
+    assert rows2[0]["csr_impl"] == "dedup"
+
+
 @pytest.mark.parametrize("impl", ["fine", "dedup"])
 def test_csr_impl_int8_gathered(tmp_path, impl):
     """-M 2 --dtype int8 with an explicit fine-family impl runs the
