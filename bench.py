@@ -28,11 +28,72 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def run_mini_suite(dtype, N: int, reps: int, quick: bool) -> dict:
+    """Two extra structure classes (fem_2d stencil, rmat power-law) through
+    the same reorder->block->SpMM pipeline, each scored against the
+    csr_spmm_auto library-call baseline (the campaign's CSR bundle).
+
+    One synthetic planted-block matrix is fragile evidence for a headline
+    (VERDICT r3 weak #7); this keeps the driver-captured number a 3-matrix
+    mini-suite at a couple of minutes' cost.  Failures are recorded
+    per-matrix and never sink the main headline."""
+    import jax.numpy as jnp
+
+    from sparta_tpu.bench.tau import search_tau
+    from sparta_tpu.bench.timing import time_op
+    from sparta_tpu.datasets import stencil_csr
+    from sparta_tpu.formats import bell_from_csr
+    from sparta_tpu.formats.csr import rmat_csr
+    from sparta_tpu.ops import csr_spmm_auto, plan_spmm
+
+    if quick:
+        mats = {"fem_2d": stencil_csr((24, 24), pattern="box", seed=5),
+                "rmat": rmat_csr(9, edge_factor=4, seed=4)}
+        taus = (0.3,)
+    else:
+        mats = {"fem_2d": stencil_csr((90, 90), pattern="box", seed=5),
+                "rmat": rmat_csr(13, edge_factor=8, seed=4)}
+        taus = (0.3, 0.1)
+    suite = {}
+    for name, m in mats.items():
+        row = {"rows": m.rows, "nnz": m.nnz}
+        try:
+            res = search_tau(m, 128, 128, taus=taus)
+            bell = bell_from_csr(m, res.grouping, block_row_size=128)
+            plan = plan_spmm(bell, N, dtype=dtype)
+            Bs = jnp.asarray(
+                np.random.default_rng(1).standard_normal((m.cols, N)),
+                dtype=dtype)
+            # plan.fn wants B padded to the bell's K grid; auto takes
+            # the logical operand
+            Bp = jnp.pad(Bs, ((0, bell.shape[1] - m.cols), (0, 0)))
+            t_blk, _, _ = time_op(plan.fn, Bp, warmup=1, reps=reps)
+            fn, picked, _fl = csr_spmm_auto(m, N, dtype=dtype)
+            t_auto, _, _ = time_op(fn, Bs, warmup=1, reps=reps)
+            row.update({
+                "blocked_ms": round(t_blk * 1e3, 3),
+                "blocked_backend": plan.backend,
+                "unstructured_ms": round(t_auto * 1e3, 3),
+                "unstructured_backend": picked,
+                "speedup": round(t_auto / t_blk, 2),
+            })
+            log(f"suite {name:8s}: blocked {t_blk*1e3:8.3f} ms "
+                f"({plan.backend}) vs {picked} {t_auto*1e3:8.3f} ms "
+                f"-> {t_auto/t_blk:.2f}x")
+        except Exception as e:  # noqa: BLE001 — per-matrix, non-fatal
+            row["error"] = f"{type(e).__name__}: {str(e)[:160]}"
+            log(f"suite {name}: FAILED {row['error']}")
+        suite[name] = row
+    return suite
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes (smoke)")
     ap.add_argument("--b-cols", type=int, default=0)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--no-suite", action="store_true",
+                    help="skip the fem_2d/rmat mini-suite rows")
     args = ap.parse_args()
 
     import os
@@ -277,6 +338,11 @@ def main():
             out["int8_rel_err"] = round(int8_err, 5)
             out["int8_speedup_vs_best_unstructured"] = round(
                 unstructured[best_name] / int8_avg, 2)
+    if not args.no_suite:
+        try:
+            out["suite"] = run_mini_suite(dtype, N, reps, args.quick)
+        except Exception as e:  # noqa: BLE001 — never sink the headline
+            out["suite"] = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
     print(json.dumps(out), flush=True)
 
 

@@ -109,13 +109,19 @@ def main():
                 row[tag] = {"error": str(e)[:160]}
                 return None
 
-        t_sp = cell("sparse", lambda x: block_sparse_attention(
-            x, k, v, mask), fl_sp)
+        t_sp = cell("sparse_xla", lambda x: block_sparse_attention(
+            x, k, v, mask, impl="xla"), fl_sp)
+        t_pl = cell("sparse_pallas", lambda x: block_sparse_attention(
+            x, k, v, mask, impl="pallas"), fl_sp)
         t_d = cell("dense", lambda x: dense_attn(x, k, v), fl_d) \
             if T <= 4096 else None
-        if t_sp and t_d:
-            row["speedup"] = round(t_d / t_sp, 2)
-            log(f"T={T} speedup: {row['speedup']}x")
+        best_sp = min((t for t in (t_sp, t_pl) if t), default=None)
+        if best_sp and t_d:
+            row["speedup"] = round(t_d / best_sp, 2)
+            log(f"T={T} speedup (best sparse vs dense): {row['speedup']}x")
+        if t_sp and t_pl:
+            row["pallas_vs_xla"] = round(t_sp / t_pl, 2)
+            log(f"T={T} pallas vs xla sparse: {row['pallas_vs_xla']}x")
         out[f"T{T}"] = row
         write_result(args.out, out, quick=args.quick, hw_only=True)
 

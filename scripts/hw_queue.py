@@ -45,6 +45,7 @@ JOBS = [
     ("realworld_fine",
      [sys.executable, "scripts/realworld_campaign.py", "--skip-parity",
       "--autotune"], 10800, 2),
+    ("plan_audit", [sys.executable, "scripts/plan_audit.py"], 7200, 2),
     ("campaign_suite", [sys.executable, "scripts/campaign.py"], 10800, 1),
     ("bench_headline_final", [sys.executable, "bench.py"], 2400, 2),
 ]
@@ -55,9 +56,12 @@ def log(*a):
 
 
 def write_status(status: dict) -> None:
-    from sparta_tpu.bench.results import write_result
-
-    write_result(STATUS, status)
+    # plain json, NO provenance stamp: provenance() imports jax, and
+    # in-process backend init can hang forever on a down-but-connecting
+    # tunnel — the queue process must never touch the backend itself
+    STATUS.parent.mkdir(parents=True, exist_ok=True)
+    STATUS.write_text(json.dumps(
+        {**status, "_note": "queue status, host-side only"}, indent=1))
 
 
 def wait_for_tunnel(deadline: float) -> bool:

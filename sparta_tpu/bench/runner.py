@@ -137,8 +137,7 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
 
         fn, name, flops = csr_spmm_auto(
             m, N, dtype=dtype, autotune=bool(getattr(cfg, 'autotune', False)))
-        if "natbell" in name:  # plan fn wants B padded to the bell's K/N grid
-            return fn, (round_up(m.cols, 128), round_up(N, 128)), name, flops
+        # every csr_spmm_auto leg takes the logical [K, N] operand
         return fn, (m.cols, N), name, flops
 
     grouping = engine.grouping_result

@@ -143,18 +143,31 @@ def _bsa_core(q, k, v, bc_ell, live, nbr, block, causal, scale):
 
 def block_sparse_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                            mask: BlockMask,
-                           scale: float | None = None) -> jax.Array:
+                           scale: float | None = None,
+                           impl: str = "auto") -> jax.Array:
     """Attention over a static block pattern.
 
     q: [..., T_q, D], k/v: [..., T_k, D]; leading dims (batch, heads)
     are vmapped.  Returns [..., T_q, D].  Scores exist ONLY for the
     mask's blocks — compute and memory scale with mask.n_blocks, not
-    T_q*T_k."""
+    T_q*T_k.
+
+    impl: "pallas" = fused flash-style kernel (attention_pallas.py —
+    scores/probabilities never touch HBM; backward recomputes through
+    the XLA path); "xla" = batched-einsum path (the oracle);
+    "auto" = pallas on an accelerator backend, xla on CPU (the interpret-
+    mode kernel is orders of magnitude slower than real XLA on CPU)."""
     if q.shape[-2] != mask.nbr * mask.block:
         raise ValueError(f"T_q={q.shape[-2]} != mask {mask.nbr}x{mask.block}")
     if k.shape[-2] != mask.nbc * mask.block:
         raise ValueError(f"T_k={k.shape[-2]} != mask {mask.nbc}x{mask.block}")
     scale = scale if scale is not None else 1.0 / np.sqrt(q.shape[-1])
+    if impl == "auto":
+        impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if impl == "pallas":
+        from .attention_pallas import block_sparse_attention_pallas
+
+        return block_sparse_attention_pallas(q, k, v, mask, scale)
     _, bc_ell, live = _mask_to_ell(mask)
     bc_ell = jnp.asarray(bc_ell)
     live = jnp.asarray(live)

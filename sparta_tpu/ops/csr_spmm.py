@@ -276,4 +276,60 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
     bell = bell_from_csr(cmat, None, block_row_size=128, block_col_size=128)
     plan = plan_spmm(bell, Np, dtype=dtype, autotune=autotune)
     flops = 2 * bell.total_nzblocks * 128 * 128 * Np
-    return plan.fn, f"csr_auto_natbell128[{plan.backend}]", flops
+    # normalize to the same contract as every other leg: fn takes the
+    # LOGICAL [K, N] operand and returns [M, N] — the bell kernels want B
+    # padded to the 128-grid, so pad rows/cols in and slice rows/cols out
+    Kp, Mp = bell.shape[1], bell.shape[0]
+    if (Kp, Np, Mp) == (K, N, M):
+        fn = plan.fn
+    else:
+        fn = lambda B: plan.fn(  # noqa: E731
+            jnp.pad(B, ((0, Kp - K), (0, Np - N))))[:M, :N]
+    return fn, f"csr_auto_natbell128[{plan.backend}]", flops
+
+
+def csr_candidate_fn(cmat: CSR, N: int, name: str, dtype=jnp.float32):
+    """Build ONE csr_model_table candidate's executable — the same
+    construction csr_spmm_auto would use had the model picked ``name``.
+    Contract matches csr_spmm_auto: fn takes the logical [K, N] operand,
+    returns [M, N].  Used by ``tools plan --audit`` to measure every
+    candidate against the model (VERDICT r3 weak #4: no model-vs-measured
+    audit existed for the five-candidate table)."""
+    from ..formats.bell import bell_from_csr
+    from .fine import (
+        DedupDevice,
+        FellDevice,
+        FineDevice,
+        choose_width,
+        dedup_spmm,
+        fell_spmm,
+        fine_spmm,
+    )
+    from .select import plan_spmm
+
+    M, K = cmat.shape
+    Np = round_up(N, 128)
+    if name == "dense":
+        A = to_device(cmat.to_dense(), dtype)
+        return lambda B: dense_matmul(A, B)
+    if name == "natbell128":
+        bell = bell_from_csr(cmat, None, block_row_size=128,
+                             block_col_size=128)
+        plan = plan_spmm(bell, Np, dtype=dtype)
+        Kp, Mp = bell.shape[1], bell.shape[0]
+        if (Kp, Np, Mp) == (K, N, M):
+            return plan.fn
+        return lambda B: plan.fn(
+            jnp.pad(B, ((0, Kp - K), (0, Np - N))))[:M, :N]
+    if name == "fine":
+        dev, run = FineDevice.from_csr(cmat, dtype=dtype), fine_spmm
+    elif name == "dedup":
+        dev, run = DedupDevice.from_csr(cmat, dtype=dtype), dedup_spmm
+    elif name == "fell":
+        w = choose_width(cmat.row_nnz, jnp.dtype(dtype).itemsize)
+        dev, run = FellDevice.from_csr(cmat, width=w, dtype=dtype), fell_spmm
+    else:
+        raise ValueError(f"unknown candidate {name!r}")
+    if N == Np:
+        return lambda B: run(dev, B)
+    return lambda B: run(dev, jnp.pad(B, ((0, 0), (0, Np - N))))[:, :N]

@@ -245,6 +245,65 @@ def cmd_compare(args):
     print(f"wrote comparison artifacts to {out}")
 
 
+def _plan_audit(args, m, N, dtype, table, chosen):
+    """Measure every non-disqualified csr_model_table candidate on the
+    current backend and compare against the model: model/measured ratios
+    plus a MISPICK flag when the model's choice is >1.5x slower (measured)
+    than the true winner.  Writes results/plan_audit_<stem>.json with
+    provenance (meaningful numbers need the TPU backend; a CPU run is
+    rerouted to *_cpu.json)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from .bench.results import write_result
+    from .bench.timing import time_op
+    from .ops.csr_spmm import csr_candidate_fn
+
+    B = jnp.asarray(
+        np.random.default_rng(0).standard_normal((m.cols, N)), dtype=dtype)
+    print("\naudit (measured on this backend):")
+    audit = {"matrix": args.matrix, "rows": m.rows, "cols": m.cols,
+             "nnz": m.nnz, "b_cols": N, "dtype": args.dtype,
+             "model_pick": chosen, "candidates": {}}
+    measured = {}
+    for name, sec in sorted(table.items(), key=lambda kv: kv[1]):
+        if sec == float("inf"):
+            audit["candidates"][name] = {"model_ms": None,
+                                         "status": "disqualified"}
+            continue
+        try:
+            fn = csr_candidate_fn(m, N, name, dtype=dtype)
+            avg, std, _ = time_op(fn, B, warmup=1, reps=2)
+            measured[name] = avg
+            ratio = sec / avg if avg else float("nan")
+            audit["candidates"][name] = {
+                "model_ms": round(sec * 1e3, 3),
+                "measured_ms": round(avg * 1e3, 3),
+                "model_over_measured": round(ratio, 2)}
+            print(f"  {name:12s} model {sec*1e3:9.3f} ms  measured "
+                  f"{avg*1e3:9.3f} ms  (model/measured {ratio:5.2f})")
+            del fn
+        except Exception as e:  # noqa: BLE001 — a faulting candidate loses
+            audit["candidates"][name] = {"model_ms": round(sec * 1e3, 3),
+                                         "error": str(e)[:160]}
+            print(f"  {name:12s} model {sec*1e3:9.3f} ms  "
+                  f"FAILED {type(e).__name__}: {str(e)[:120]}")
+    if measured:
+        true_win = min(measured, key=measured.get)
+        audit["measured_pick"] = true_win
+        mispick = (chosen in measured and true_win != chosen
+                   and measured[chosen] > 1.5 * measured[true_win])
+        audit["mispick"] = bool(mispick)
+        print(f"  measured winner: {true_win}"
+              + (f"  ** MISPICK: model chose {chosen} "
+                 f"({measured[chosen]/measured[true_win]:.2f}x slower) **"
+                 if mispick else ""))
+    stem = Path(args.matrix).stem
+    p = write_result(f"results/plan_audit_{stem}.json", audit, hw_only=True)
+    print(f"  audit -> {p}")
+
+
 def cmd_plan(args):
     """Explain what the selectors would run for a matrix: the unstructured
     csr_spmm_auto candidate table (same csr_model_table the selector uses)
@@ -275,6 +334,9 @@ def cmd_plan(args):
         mark = " <- chosen" if name == chosen else ""
         val = "disqualified" if sec == float("inf") else f"{sec * 1e3:9.3f} ms"
         print(f"  {name:12s} {val}{mark}")
+
+    if getattr(args, "audit", False):
+        _plan_audit(args, m, N, dtype, table, chosen)
 
     grouping = None
     if args.tau is not None:
@@ -433,11 +495,17 @@ def build_parser():
     pn.add_argument("-t", "--tau", type=float, default=None,
                     help="reorder first (algo --algo) at this tau")
     pn.add_argument("-a", "--algo", type=int, default=3)
+    pn.add_argument("--audit", action="store_true",
+                    help="measure every candidate vs the model; flag "
+                         "mispicks >1.5x (results/plan_audit_<stem>.json)")
     pn.set_defaults(fn=cmd_plan)
     return p
 
 
 def main(argv=None):
+    from .bench.device import ensure_cpu_backend
+
+    ensure_cpu_backend()  # honor an explicit JAX_PLATFORMS=cpu drive
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

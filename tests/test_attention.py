@@ -131,3 +131,89 @@ def test_bsa_shape_validation():
         block_sparse_attention(q, q, q, mask)
     with pytest.raises(ValueError):
         build_block_mask(200, 256, 128)
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas kernel (attention_pallas.py) — interpret mode on CPU
+# ---------------------------------------------------------------------------
+
+from sparta_tpu.ops.attention_pallas import (  # noqa: E402
+    block_sparse_attention_pallas,
+)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_bsa_pallas_matches_xla(causal):
+    """The fused kernel's online softmax must match the XLA path (which is
+    itself oracle-checked above) at fp32."""
+    T, D, block = 512, 64, 128
+    mask = build_block_mask(T, T, block, window=2, causal=causal,
+                            global_blocks=1)
+    rng = np.random.default_rng(10)
+    q, k, v = (jnp.asarray(x) for x in _qkv(rng, (2, T, D)))
+    got = np.asarray(block_sparse_attention_pallas(q, k, v, mask))
+    ref = np.asarray(block_sparse_attention(q, k, v, mask, impl="xla"))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_bsa_pallas_vs_dense_oracle_batched():
+    """[B, H, T, D] operands straight against the dense-masked numpy
+    oracle (D=32 exercises the lane-padding path: Dp=128 != D)."""
+    B, H, T, D, block = 2, 3, 384, 32, 128
+    mask = build_block_mask(T, T, block, window=1, causal=True,
+                            global_blocks=1)
+    rng = np.random.default_rng(11)
+    q, k, v = _qkv(rng, (B, H, T, D))
+    got = np.asarray(block_sparse_attention_pallas(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mask))
+    ref = _dense_attention(q, k, v, dense_mask_from_block_mask(mask),
+                           1.0 / np.sqrt(D))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_bsa_pallas_rectangular():
+    Tq, Tk, D = 256, 512, 64
+    mask = build_block_mask(Tq, Tk, 128, window=None)
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.standard_normal((Tq, D)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((Tk, D)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((Tk, D)).astype(np.float32))
+    got = np.asarray(block_sparse_attention_pallas(q, k, v, mask))
+    ref = _dense_attention(np.asarray(q), np.asarray(k), np.asarray(v),
+                           np.ones((Tq, Tk), bool), 1.0 / np.sqrt(D))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_bsa_pallas_grad_matches_xla():
+    """custom_vjp backward (recompute through the XLA path) must agree
+    with differentiating the XLA path directly."""
+    T, D = 256, 64
+    mask = build_block_mask(T, T, 128, window=1, causal=True)
+    rng = np.random.default_rng(13)
+    q, k, v = (jnp.asarray(x) for x in _qkv(rng, (T, D)))
+
+    def loss_pl(q, k, v):
+        return jnp.sum(block_sparse_attention_pallas(q, k, v, mask) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(block_sparse_attention(q, k, v, mask,
+                                              impl="xla") ** 2)
+
+    gp = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_bsa_impl_dispatch():
+    """impl='auto' routes to XLA on the CPU backend; explicit impls agree."""
+    T, D = 256, 64
+    mask = build_block_mask(T, T, 128, window=2, causal=True)
+    rng = np.random.default_rng(14)
+    q, k, v = (jnp.asarray(x) for x in _qkv(rng, (T, D)))
+    a = np.asarray(block_sparse_attention(q, k, v, mask, impl="auto"))
+    x = np.asarray(block_sparse_attention(q, k, v, mask, impl="xla"))
+    p = np.asarray(block_sparse_attention(q, k, v, mask, impl="pallas"))
+    np.testing.assert_allclose(a, x, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(p, x, rtol=2e-5, atol=2e-5)
