@@ -293,3 +293,27 @@ def test_plan_subcommand(matrix_file, capsys):
     main(["plan", matrix_file, "-c", "256", "-b", "3", "-t", "0.5"])
     out = capsys.readouterr().out
     assert "reordered blocking (algo 3, tau=0.5)" in out
+
+
+def test_plan_audit_writes_provenance_json(tmp_path, monkeypatch):
+    """tools plan --audit measures every candidate, names a measured
+    winner, and writes a provenance-stamped JSON that a CPU run reroutes
+    to *_cpu.json (never the canonical hardware path)."""
+    import json
+
+    from sparta_tpu.formats import random_uniform_csr
+    from sparta_tpu.tools import main as tools_main
+
+    m = random_uniform_csr(64, 64, 0.05, seed=9)
+    el = tmp_path / "aud.el"
+    m.save_to_edgelist(el)
+    monkeypatch.chdir(tmp_path)
+    tools_main(["plan", str(el), "-c", "128", "--audit"])
+    p = tmp_path / "results" / "plan_audit_aud_cpu.json"
+    assert p.exists(), "CPU audit must land at *_cpu.json"
+    doc = json.loads(p.read_text())
+    assert doc["_provenance"]["backend"] == "cpu"
+    assert doc["measured_pick"] in doc["candidates"]
+    assert "mispick" in doc
+    measured = [c for c in doc["candidates"].values() if "measured_ms" in c]
+    assert len(measured) >= 2  # at least two candidates actually timed
