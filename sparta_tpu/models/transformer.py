@@ -176,7 +176,30 @@ class BlockSparseTransformer:
         new_layers = []
         kpos = jnp.arange(cfg.max_seq)
         visible = kpos <= pos  # causal
-        if cfg.attention == "local":
+        # local attention: the visible set is a STATIC count of key tiles
+        # (window + global), so gather just those from the ring instead of
+        # scanning all max_seq slots — O(window*block) attention per token
+        # instead of O(max_seq).  Falls back to the masked full-ring path
+        # when the ring isn't tile-aligned.
+        local_gather = (cfg.attention == "local"
+                        and cfg.max_seq % cfg.block == 0)
+        if local_gather:
+            w_, g_ = cfg.attn_window, cfg.attn_global_blocks
+            nbt = cfg.max_seq // cfg.block
+            qt = pos // cfg.block
+            loc = qt - (w_ - 1) + jnp.arange(w_)
+            tiles = jnp.concatenate([jnp.arange(g_), loc])
+            # global tiles are always gathered (causality via kpos<=pos);
+            # local slots drop out-of-range tiles AND tiles < g_ (those
+            # keys already arrive through the global slots — double-
+            # counting them would corrupt the softmax)
+            tvalid = jnp.concatenate(
+                [jnp.ones((g_,), bool), loc >= g_])
+            tiles_c = jnp.clip(tiles, 0, nbt - 1)
+            kpos_t = tiles_c[:, None] * cfg.block \
+                + jnp.arange(cfg.block)[None, :]          # [g+w, block]
+            vis_t = tvalid[:, None] & (kpos_t <= pos)
+        elif cfg.attention == "local":
             qt = pos // cfg.block
             kt = kpos // cfg.block
             visible &= (kt >= qt - (cfg.attn_window - 1)) \
@@ -193,11 +216,26 @@ class BlockSparseTransformer:
                 cache["layers"][i]["v"], v_new.astype(dtype)[:, :, None, :],
                 pos, axis=2)
             new_layers.append({"k": ck, "v": cv})
-            s = jnp.einsum("bhd,bhkd->bhk", q.astype(jnp.float32),
-                           ck.astype(jnp.float32)) / np.sqrt(dh)
-            s = jnp.where(visible[None, None, :], s, -jnp.inf)
-            p = jax.nn.softmax(s, axis=-1)
-            o = jnp.einsum("bhk,bhkd->bhd", p, cv.astype(jnp.float32))
+            if local_gather:
+                bsz = ck.shape[0]
+                nt = tiles_c.shape[0]
+                ck_t = ck.reshape(bsz, h, nbt, cfg.block, dh)[:, :, tiles_c]
+                cv_t = cv.reshape(bsz, h, nbt, cfg.block, dh)[:, :, tiles_c]
+                s = jnp.einsum(
+                    "bhd,bhtkd->bhtk", q.astype(jnp.float32),
+                    ck_t.astype(jnp.float32)) / np.sqrt(dh)
+                s = jnp.where(vis_t[None, None], s, -jnp.inf)
+                p = jax.nn.softmax(s.reshape(bsz, h, -1), axis=-1)
+                o = jnp.einsum(
+                    "bhk,bhkd->bhd", p,
+                    cv_t.astype(jnp.float32).reshape(
+                        bsz, h, nt * cfg.block, dh))
+            else:
+                s = jnp.einsum("bhd,bhkd->bhk", q.astype(jnp.float32),
+                               ck.astype(jnp.float32)) / np.sqrt(dh)
+                s = jnp.where(visible[None, None, :], s, -jnp.inf)
+                p = jax.nn.softmax(s, axis=-1)
+                o = jnp.einsum("bhk,bhkd->bhd", p, cv.astype(jnp.float32))
             att = dense_apply(lp["proj"], o.reshape(-1, cfg.d_model)
                               .astype(dtype))
             x = x + att
