@@ -641,6 +641,35 @@ def compact_auto_chunk(nb_row) -> int:
     return int(np.clip(round(mean * 0.8), 2, 8))
 
 
+def compact_optimal_chunk(nb_row, dot_s: float = 93e-9,
+                          iter_s: float = 115e-9,
+                          max_chunk: int = 8) -> int:
+    """Exact model-optimal unroll chunk from the row histogram.
+
+    Per column-tile pass, a block-row with ``nb`` nonzero blocks costs
+    ``ceil(nb/c)`` fori iterations of ``c`` unguarded dots each (zero-block
+    padding included), so the total is
+
+        cost(c) = sum_rows ceil(nb/c) * (c*dot_s + iter_s)
+
+    which this minimizes exactly over c in [1, max_chunk] (the pass count
+    and tile width scale both terms equally, so the argmin is shape-free).
+    The mean-based heuristic ``compact_auto_chunk`` is near-optimal for
+    concentrated distributions (planted blocks, FEM) but can lose >20% of
+    dot time on heavy-tailed rows (power-law graphs) where the mean sits
+    in a gap of the histogram; this computes the argmin from the actual
+    counts instead.  ``max_chunk`` stays at the hardware-validated DMA
+    granularity bound (VMEM scratch = 2*chunk*bh*bw*itemsize)."""
+    nb = np.asarray(nb_row, dtype=np.int64)
+    nb = nb[nb > 0]
+    if nb.size == 0:
+        return 2
+    cs = np.arange(1, max_chunk + 1, dtype=np.int64)
+    steps = np.ceil(nb[:, None] / cs[None, :]).sum(axis=0)
+    cost = steps * (cs * dot_s + iter_s)
+    return int(cs[int(np.argmin(cost))])
+
+
 # --------------------------------------------------------------------------
 # HBM-gathered-B kernel (the large-matrix layout)
 # --------------------------------------------------------------------------

@@ -22,6 +22,7 @@ from .bell_compact import (
     bell_spmm_pallas_compact_unrolled,
     compact_auto_chunk,
     compact_from_host_padded,
+    compact_optimal_chunk,
 )
 from .bell_xla import bell_spmm_xla
 from .device import BellDevice
@@ -116,14 +117,17 @@ def _model_ksplit_s(total_blocks, nbr, bh, bw, K, Np, tn, chunk, itemsize,
 
 
 def _candidate_plans(bell: BELL, N: int, dtype, tile_n):
-    """Ranked (model_seconds, kind, tn, n_parts) candidates."""
+    """Ranked (model_seconds, kind, tn, n_parts, chunk) candidates."""
     bh, bw = bell.block_row_size, bell.block_col_size
     K = bell.shape[1]
     Np = -(-N // 128) * 128
     itemsize = jnp.dtype(dtype).itemsize
-    chunk = compact_auto_chunk(bell.nb_row)
     nb = np.asarray(bell.nb_row, dtype=np.int64)
-    padded_blocks = int(((nb + chunk - 1) // chunk * chunk).sum())
+    # two chunk candidates: the hardware-validated mean heuristic and the
+    # exact histogram argmin (they differ mainly on heavy-tailed rows);
+    # each gets its own modeled row so autotune can settle close calls
+    chunks = sorted({compact_auto_chunk(nb),
+                     compact_optimal_chunk(nb, _DOT512_S, _ITER_S)})
     total_blocks = int(nb.sum())
     nbr = bell.n_block_rows
 
@@ -132,11 +136,14 @@ def _candidate_plans(bell: BELL, N: int, dtype, tile_n):
     for tn in tns:
         if Np % tn:
             continue
-        if unrolled_vmem_bytes(K, tn, bh, bw, chunk, itemsize) <= VMEM_BUDGET:
+        fitting = [c for c in chunks if unrolled_vmem_bytes(
+            K, tn, bh, bw, c, itemsize) <= VMEM_BUDGET]
+        for chunk in fitting:
+            padded_blocks = int(((nb + chunk - 1) // chunk * chunk).sum())
             t = _model_unrolled_s(padded_blocks, bh, bw, K, Np, tn, chunk,
                                   itemsize)
-            cands.append((t, "unrolled", tn, 1))
-        else:
+            cands.append((t, "unrolled", tn, 1, chunk))
+        if not fitting:
             # K-split: smallest part count whose B slice is VMEM-resident.
             # The builder slices k_part*bw = ceil(nbc/P)*bw rows, up to
             # bw-1 rows more than ceil(K/P) — check the REAL slice size.
@@ -147,18 +154,18 @@ def _candidate_plans(bell: BELL, N: int, dtype, tile_n):
                         <= VMEM_BUDGET:
                     t = _model_ksplit_s(total_blocks, nbr, bh, bw, K, Np, tn,
                                         2, itemsize, P)
-                    cands.append((t, "ksplit", tn, P))
+                    cands.append((t, "ksplit", tn, P, 2))
                     break
     tn_g = tile_n or auto_tile_n(Np)
     cands.append((_model_gather_s(total_blocks, bh, bw, Np, tn_g, itemsize),
-                  "gather", tn_g, 1))
+                  "gather", tn_g, 1, 0))
     # densify + one MXU GEMM: wins when block occupancy approaches full
     # (a fully-occupied bell does dense work plus per-block overhead);
     # only feasible when the dense A fits device memory
     M = bell.shape[0]
     if M * K * itemsize <= DENSIFY_BYTES_CAP:
-        cands.append((2 * M * K * Np / _DENSE_TPS, "dense", tn_g, 1))
-    return sorted(cands), chunk
+        cands.append((2 * M * K * Np / _DENSE_TPS, "dense", tn_g, 1, 0))
+    return sorted(cands)
 
 
 def _build_plan(bell: BELL, kind: str, tn: int, n_parts: int, chunk: int,
@@ -221,9 +228,9 @@ def plan_spmm(bell: BELL, N: int, dtype=jnp.float32,
         return SpmmPlan(lambda B: bell_spmm_xla(dev, B),
                         "bell_xla", tile_n or auto_tile_n(Np))
 
-    cands, chunk = _candidate_plans(bell, N, dtype, tile_n)
+    cands = _candidate_plans(bell, N, dtype, tile_n)
     if not autotune or jax.default_backend() == "cpu" or len(cands) == 1:
-        _, kind, tn, n_parts = cands[0]
+        _, kind, tn, n_parts, chunk = cands[0]
         return _build_plan(bell, kind, tn, n_parts, chunk, dtype)
 
     from ..bench.timing import time_op
@@ -233,7 +240,7 @@ def plan_spmm(bell: BELL, N: int, dtype=jnp.float32,
     B = jnp.asarray(
         np.random.default_rng(0).standard_normal((K, Np)).astype(np.float32),
         dtype=dtype)
-    for _, kind, tn, n_parts in cands[:3]:
+    for _, kind, tn, n_parts, chunk in cands[:3]:
         plan = _build_plan(bell, kind, tn, n_parts, chunk, dtype)
         try:
             avg, _, _ = time_op(plan.fn, B, warmup=1, reps=2,
@@ -243,6 +250,6 @@ def plan_spmm(bell: BELL, N: int, dtype=jnp.float32,
         if best is None or avg < best[0]:
             best = (avg, plan)
     if best is None:  # every candidate failed: fall back to the model pick
-        _, kind, tn, n_parts = cands[0]
+        _, kind, tn, n_parts, chunk = cands[0]
         return _build_plan(bell, kind, tn, n_parts, chunk, dtype)
     return best[1]

@@ -353,13 +353,14 @@ def cmd_plan(args):
         print("\nnatural blocking (pass --tau to reorder first):")
     bell = bell_from_csr(m, grouping, block_row_size=args.block,
                          block_col_size=args.block)
-    cands, chunk = _candidate_plans(bell, round_up(N, 128), dtype, 0)
-    print(f"  {bell.total_nzblocks} nonzero {args.block}-blocks, "
-          f"unroll chunk={chunk}")
-    for sec, kind, tn, parts in cands:
-        extra = f" x{parts} parts" if parts > 1 else ""
+    cands = _candidate_plans(bell, round_up(N, 128), dtype, 0)
+    print(f"  {bell.total_nzblocks} nonzero {args.block}-blocks")
+    for sec, kind, tn, parts, chunk in cands:
+        extra = (f" x{parts} parts" if parts > 1 else "") \
+            + (f" c{chunk}" if chunk else "")
         print(f"  {kind:10s} tn={tn:<4d}{extra:10s} {sec * 1e3:9.3f} ms"
-              + (" <- chosen" if (sec, kind, tn, parts) == cands[0] else ""))
+              + (" <- chosen"
+                 if (sec, kind, tn, parts, chunk) == cands[0] else ""))
 
 
 def cmd_sweep(args):

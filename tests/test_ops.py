@@ -322,6 +322,87 @@ def test_plan_spmm_unrolled_and_gather_paths():
         sel._DENSE_TPS = old_dense
 
 
+def test_compact_optimal_chunk_is_exact_argmin():
+    """compact_optimal_chunk minimizes the padded-dot + loop-iteration cost
+    exactly over the row histogram (brute-force check), and never models
+    worse than the mean heuristic."""
+    from sparta_tpu.ops import compact_auto_chunk
+    from sparta_tpu.ops.bell_compact import compact_optimal_chunk
+
+    dot_s, iter_s = 93e-9, 115e-9
+
+    def cost(nb, c):
+        nb = np.asarray(nb, np.int64)
+        nb = nb[nb > 0]
+        return float((np.ceil(nb / c) * (c * dot_s + iter_s)).sum())
+
+    rng = np.random.default_rng(0)
+    dists = [
+        rng.poisson(6.4, 80) + 1,                       # planted-block-like
+        (rng.pareto(1.2, 200) + 1).astype(int),         # power-law tail
+        np.full(50, 3),                                 # uniform small
+        np.r_[np.full(99, 1), [400]],                   # one huge row
+        rng.integers(1, 30, 64),
+    ]
+    for nb in dists:
+        c_star = compact_optimal_chunk(nb, dot_s, iter_s)
+        brute = min(range(1, 9), key=lambda c: cost(nb, c))
+        assert cost(nb, c_star) == pytest.approx(cost(nb, brute))
+        c_heur = compact_auto_chunk(nb)
+        assert cost(nb, c_star) <= cost(nb, c_heur) + 1e-12
+
+    # degenerate inputs
+    assert compact_optimal_chunk([]) == 2
+    assert compact_optimal_chunk([0, 0]) == 2
+    assert 1 <= compact_optimal_chunk([1]) <= 8
+
+
+def test_plan_spmm_models_both_chunks_and_optimal_chunk_runs():
+    """_candidate_plans emits an unrolled candidate per distinct chunk
+    (heuristic + exact argmin) on a heavy-tailed matrix, and a plan built
+    with the optimal chunk computes correctly."""
+    from sparta_tpu.formats import BELL
+    from sparta_tpu.ops import pad_b_for_bell
+    from sparta_tpu.ops.bell_compact import compact_optimal_chunk
+
+    import sparta_tpu.ops.select as sel
+
+    # heavy-tailed block rows: most rows 1 block, one row with many —
+    # the mean heuristic and the exact argmin disagree here
+    rng = np.random.default_rng(3)
+    b, nbr, nbc = 128, 12, 16
+    nb_row = np.r_[np.full(nbr - 1, 1), [12]].astype(np.int64)
+    cols_idx = np.full((nbr, nb_row.max()), -1, np.int64)
+    for i, nb in enumerate(nb_row):
+        cols_idx[i, :nb] = np.sort(rng.choice(nbc, nb, replace=False))
+    vals = rng.standard_normal((nbr, nb_row.max(), b, b)).astype(np.float32)
+    vals[cols_idx < 0] = 0.0
+    bell = BELL(cols_idx=cols_idx, vals=vals, nb_row=nb_row,
+                row_perm=np.arange(nbr * b), block_row_size=b,
+                block_col_size=b, shape=(nbr * b, nbc * b),
+                orig_shape=(nbr * b, nbc * b))
+
+    c_heur = sel.compact_auto_chunk(nb_row)
+    c_opt = compact_optimal_chunk(nb_row, sel._DOT512_S, sel._ITER_S)
+    assert c_heur != c_opt, "fixture no longer separates the two policies"
+
+    cands = sel._candidate_plans(bell, 128, jnp.float32, 128)
+    unrolled_chunks = {c for _, kind, _, _, c in cands if kind == "unrolled"}
+    assert unrolled_chunks == {c_heur, c_opt}
+
+    # the optimal-chunk plan must compute the right product
+    plan = sel._build_plan(bell, "unrolled", 128, 1, c_opt, jnp.float32)
+    assert f"c{c_opt}" in plan.backend
+    dense = np.zeros(bell.shape, np.float32)
+    for i, nb in enumerate(nb_row):
+        for j in range(nb):
+            jc = cols_idx[i, j]
+            dense[i * b:(i + 1) * b, jc * b:(jc + 1) * b] = vals[i, j]
+    B = rng.standard_normal((bell.shape[1], 128)).astype(np.float32)
+    C = np.asarray(plan(jnp.asarray(pad_b_for_bell(B[: bell.shape[1]], bell))))
+    np.testing.assert_allclose(C, dense @ B, rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("relu", [False, True])
 def test_bell_spmm_unrolled_epilogue(problem, relu):
     from sparta_tpu.ops import (
