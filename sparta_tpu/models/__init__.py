@@ -14,6 +14,7 @@ from .gcn_sample import (
     seed_labels,
 )
 from .layers import BlockSparseLinear, make_block_mask
+from .sp import make_sp_train_step
 from .train import (
     lm_loss,
     make_sharded_decode,
@@ -41,5 +42,6 @@ __all__ = [
     "make_block_mask",
     "make_sharded_decode",
     "make_sharded_train_step",
+    "make_sp_train_step",
     "make_train_step",
 ]

@@ -1,3 +1,4 @@
+from .attention import sequence_sharded_attention
 from .mesh import make_mesh, make_mesh_2d, sharding
 from .spmm import (
     pad_block_rows,
@@ -13,6 +14,7 @@ from .spmm import (
 __all__ = [
     "make_mesh",
     "make_mesh_2d",
+    "sequence_sharded_attention",
     "pad_block_rows",
     "shard_bell_rowwise",
     "sharding",
