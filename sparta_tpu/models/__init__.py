@@ -14,6 +14,7 @@ from .gcn_sample import (
     seed_labels,
 )
 from .layers import BlockSparseLinear, make_block_mask
+from .moe import BlockSparseMoE
 from .sp import make_sp_train_step
 from .train import (
     lm_loss,
@@ -26,6 +27,7 @@ from .transformer import BlockSparseTransformer, TransformerConfig
 __all__ = [
     "BlockSampler",
     "BlockSparseLinear",
+    "BlockSparseMoE",
     "BlockSparseTransformer",
     "MiniBatch",
     "apply_minibatch",

@@ -24,11 +24,14 @@ from .transformer import BlockSparseTransformer
 
 
 def lm_loss(model: BlockSparseTransformer, params, tokens) -> jax.Array:
-    logits = model.apply(params, tokens[:, :-1])
+    if model.cfg.moe_experts:
+        logits, aux = model.apply(params, tokens[:, :-1], return_aux=True)
+    else:
+        logits, aux = model.apply(params, tokens[:, :-1]), 0.0
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1).squeeze(-1)
-    return nll.mean()
+    return nll.mean() + model.cfg.moe_aux_weight * aux
 
 
 def make_train_step(model: BlockSparseTransformer, optimizer):
@@ -48,25 +51,34 @@ def param_shardings(model: BlockSparseTransformer, params, mesh: Mesh):
     """NamedShardings: FFN vals sharded over tp on block-rows; attention
     projections Megatron-style (column-parallel qkv, row-parallel proj —
     GSPMD then runs the per-head attention math tp-local and inserts ONE
-    all-reduce after proj); everything else replicated."""
+    all-reduce after proj); MoE expert vals sharded over ep on the expert
+    axis (expert parallelism — GSPMD partitions the dispatch/combine
+    einsums and routes expert slabs over ICI); everything else replicated."""
+    has_tp = "tp" in mesh.shape
+    has_ep = "ep" in mesh.shape
     tp = mesh.shape.get("tp", 1)
+    ep = mesh.shape.get("ep", 1)
 
     def shard_of(path, leaf):
         names = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
-        if "ffn_up" in names and names[-1] == "vals":
+        if (has_ep and names[-1] in ("up_vals", "down_vals")
+                and "moe" in names and leaf.shape[0] % ep == 0):
+            return NamedSharding(mesh, P("ep"))
+        if has_tp and "ffn_up" in names and names[-1] == "vals":
             return NamedSharding(mesh, P("tp", None, None, None))
         if "ffn_down" in names and names[-1] == "vals":
             # block-columns of the down projection follow ffn_up's rows;
             # sharding vals on max_nb (ragged) is unsound -> replicate rows
             return NamedSharding(mesh, P(None, None, None, None))
-        if ("qkv" in names and leaf.shape[-1] % tp == 0
+        if (has_tp and "qkv" in names and leaf.shape[-1] % tp == 0
                 and model.cfg.n_heads % tp == 0):
             # column-parallel: the qkv out dim is head-major [h, 3, dh]
             # (transformer._attn), so a contiguous tp chunk = whole head
             # groups and the per-head attention math stays tp-local
             return NamedSharding(
                 mesh, P(None, "tp") if names[-1] == "w" else P("tp"))
-        if "proj" in names and names[-1] == "w" and leaf.shape[0] % tp == 0:
+        if (has_tp and "proj" in names and names[-1] == "w"
+                and leaf.shape[0] % tp == 0):
             return NamedSharding(mesh, P("tp", None))  # row-parallel
         return NamedSharding(mesh, P())
 
@@ -111,11 +123,11 @@ def make_sharded_decode(model: BlockSparseTransformer, mesh: Mesh):
     parallel proj.  ``step`` is ``decode_step`` jitted with the cache
     sharding pinned on its outputs so the rings never silently gather."""
     tp = mesh.shape.get("tp", 1)
-    # heads shard over tp only when divisible (same guard as
-    # param_shardings' qkv rule); otherwise the rings replicate that axis
+    # heads shard over tp only when the mesh has one and heads divide (same
+    # guard as param_shardings' qkv rule); otherwise the rings replicate
     kv_sh = NamedSharding(
-        mesh, P("dp", "tp" if model.cfg.n_heads % tp == 0 else None,
-                None, None))
+        mesh, P("dp", "tp" if "tp" in mesh.shape
+                and model.cfg.n_heads % tp == 0 else None, None, None))
     cache_sh = {
         "pos": NamedSharding(mesh, P()),
         "layers": [

@@ -39,6 +39,11 @@ class TransformerConfig:
     attention: str = "dense"
     attn_window: int = 2              # local: +-(window-1) key tiles
     attn_global_blocks: int = 1       # local: first g key tiles global
+    # Mixture-of-Experts FFN (models/moe.py): 0 = dense block-sparse FFN;
+    # >0 = that many block-sparse experts, Switch top-1 routing
+    moe_experts: int = 0
+    moe_capacity: float = 1.25        # per-expert slots = N/E * this
+    moe_aux_weight: float = 1e-2      # load-balance loss weight (lm_loss)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,9 +51,22 @@ class BlockSparseTransformer:
     cfg: TransformerConfig
     ffn_up: tuple[BlockSparseLinear, ...]
     ffn_down: tuple[BlockSparseLinear, ...]
+    moe: tuple = ()   # per-layer BlockSparseMoE when cfg.moe_experts > 0
 
     @classmethod
     def create(cls, cfg: TransformerConfig, key) -> "BlockSparseTransformer":
+        if cfg.moe_experts:
+            from .moe import BlockSparseMoE
+
+            keys = jax.random.split(key, cfg.n_layers)
+            moe = tuple(
+                BlockSparseMoE.create(
+                    keys[i], cfg.moe_experts, cfg.d_model, cfg.d_ff,
+                    cfg.block, cfg.ffn_block_density,
+                    capacity_factor=cfg.moe_capacity)
+                for i in range(cfg.n_layers)
+            )
+            return cls(cfg, (), (), moe)
         keys = jax.random.split(key, 2 * cfg.n_layers)
         up = tuple(
             BlockSparseLinear.create(
@@ -76,34 +94,52 @@ class BlockSparseTransformer:
         }
         for i in range(cfg.n_layers):
             ks = jax.random.split(k_layers[i], 6)
-            params["layers"].append(
-                {
-                    "ln1": layernorm_init(cfg.d_model),
-                    "ln2": layernorm_init(cfg.d_model),
-                    "qkv": dense_init(ks[0], 3 * cfg.d_model, cfg.d_model),
-                    "proj": dense_init(ks[1], cfg.d_model, cfg.d_model),
-                    "ffn_up": self.ffn_up[i].init(ks[2]),
-                    "ffn_down": self.ffn_down[i].init(ks[3]),
-                }
-            )
+            layer = {
+                "ln1": layernorm_init(cfg.d_model),
+                "ln2": layernorm_init(cfg.d_model),
+                "qkv": dense_init(ks[0], 3 * cfg.d_model, cfg.d_model),
+                "proj": dense_init(ks[1], cfg.d_model, cfg.d_model),
+            }
+            if cfg.moe_experts:
+                layer["moe"] = self.moe[i].init(ks[2])
+            else:
+                layer["ffn_up"] = self.ffn_up[i].init(ks[2])
+                layer["ffn_down"] = self.ffn_down[i].init(ks[3])
+            params["layers"].append(layer)
         return params
 
     # -- forward ----------------------------------------------------------
-    def apply(self, params, tokens: jax.Array) -> jax.Array:
-        """tokens [batch, seq] int32 -> logits [batch, seq, vocab]."""
+    def apply(self, params, tokens: jax.Array, *, return_aux: bool = False):
+        """tokens [batch, seq] int32 -> logits [batch, seq, vocab]
+        (+ summed MoE load-balance aux when ``return_aux``)."""
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         x = params["embed"][tokens].astype(dtype)
         x = x + params["pos"][: tokens.shape[1]].astype(dtype)
+        aux = jnp.zeros((), jnp.float32)
         for i, lp in enumerate(params["layers"]):
             x = x + self._attn(lp, layernorm_apply(lp["ln1"], x), cfg)
             h = layernorm_apply(lp["ln2"], x)
-            h = self.ffn_up[i].apply(lp["ffn_up"], h)
-            h = jax.nn.gelu(h)
-            h = self.ffn_down[i].apply(lp["ffn_down"], h)
+            h, a = self._ffn(i, lp, h)
+            aux = aux + a
             x = x + h
         x = layernorm_apply(params["final_ln"], x)
-        return (x @ params["embed"].T.astype(dtype)).astype(jnp.float32)
+        logits = (x @ params["embed"].T.astype(dtype)).astype(jnp.float32)
+        return (logits, aux) if return_aux else logits
+
+    def _ffn(self, i, lp, h, dropless: bool = False):
+        """FFN block: dense block-sparse pair, or MoE when configured.
+        Returns (out, aux).  ``dropless`` lifts the MoE capacity to the
+        token count (serving: decode never drops a token)."""
+        if self.cfg.moe_experts:
+            cap = int(np.prod(h.shape[:-1])) if dropless else None
+            y, aux = self.moe[i].apply(lp["moe"], h, return_aux=True,
+                                       capacity=cap)
+            return y, aux
+        h = self.ffn_up[i].apply(lp["ffn_up"], h)
+        h = jax.nn.gelu(h)
+        h = self.ffn_down[i].apply(lp["ffn_down"], h)
+        return h, jnp.zeros((), jnp.float32)
 
     @staticmethod
     def _attn(lp, x, cfg):
@@ -240,9 +276,7 @@ class BlockSparseTransformer:
                               .astype(dtype))
             x = x + att
             hdn = layernorm_apply(lp["ln2"], x)
-            hdn = self.ffn_up[i].apply(lp["ffn_up"], hdn)
-            hdn = jax.nn.gelu(hdn)
-            hdn = self.ffn_down[i].apply(lp["ffn_down"], hdn)
+            hdn, _ = self._ffn(i, lp, hdn, dropless=True)
             x = x + hdn
         xf = layernorm_apply(params["final_ln"], x)
         logits = (xf @ params["embed"].T.astype(dtype)).astype(jnp.float32)
