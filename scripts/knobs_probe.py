@@ -170,6 +170,7 @@ def main():
         BellDevice,
         compact_auto_chunk,
         compact_from_host_padded,
+        compact_optimal_chunk,
     )
 
     log(f"devices: {jax.devices()}")
@@ -236,6 +237,15 @@ def main():
                      lambda b, c=cp2, ch=ch2:
                      bell_spmm_pallas_compact_unrolled(c, b, tn=512, chunk=ch),
                      B, flops, ref)
+        # exact histogram-argmin chunk vs the mean heuristic (r4: the
+        # selector now models both; this measures the delta directly)
+        ch_opt = compact_optimal_chunk(bell.nb_row)
+        if ch_opt != chunk:
+            cpo = compact_from_host_padded(bell, ch_opt, dtype=dtype)
+            cell(f"unrolled bw={bw} c_opt={ch_opt}",
+                 lambda b, c=cpo, ch=ch_opt:
+                 bell_spmm_pallas_compact_unrolled(c, b, tn=512, chunk=ch),
+                 B, flops, ref)
 
     # --- paired-structure section: the verdict's actual hypothesis is
     # "halve the BLOCK COUNT at the same FLOPs".  On the 128-planted
@@ -267,6 +277,34 @@ def main():
         cell(f"paired dbout bw={bw}",
              lambda b, c=cpad, ch=chunk: dbout(c, b, tn=512, chunk=ch),
              B, flops, ref)
+
+    # --- heavy-tailed rows: where the mean heuristic and the exact
+    # histogram argmin disagree most (power-law nb_row) — compare both
+    # chunks through the unrolled kernel on a natural-128 rmat blocking
+    from sparta_tpu.formats.csr import rmat_csr
+
+    scale = 10 if args.quick else 13
+    m3 = rmat_csr(scale, edge_factor=8, seed=4)
+    bell3 = bell_from_csr(m3, None, block_row_size=128)
+    ch_h = compact_auto_chunk(bell3.nb_row)
+    ch_o = compact_optimal_chunk(bell3.nb_row)
+    B3 = jnp.asarray(
+        np.random.default_rng(2).standard_normal((bell3.shape[1], N)),
+        dtype=dtype)
+    fl3 = 2 * bell3.total_nzblocks * 128 * 128 * N
+    log(f"\nrmat{scale}: nzblocks={bell3.total_nzblocks} "
+        f"chunk heur={ch_h} opt={ch_o}")
+    out["rmat_chunks"] = {"heur": ch_h, "opt": ch_o,
+                          "blocks": int(bell3.total_nzblocks)}
+    dev3 = BellDevice.from_host(bell3, dtype=dtype)
+    ref3 = np.asarray(bell_spmm_xla(dev3, B3)).astype(np.float32)
+    for name, ch in (("heur", ch_h), ("opt", ch_o)):
+        if name == "opt" and ch_o == ch_h:
+            continue
+        cp3 = compact_from_host_padded(bell3, ch, dtype=dtype)
+        cell(f"rmat unrolled c_{name}={ch}",
+             lambda b, c=cp3, cc=ch: bell_spmm_pallas_compact_unrolled(
+                 c, b, tn=512, chunk=cc), B3, fl3, ref3)
 
     from sparta_tpu.bench.results import write_result
     write_result(args.out, out, quick=args.quick, hw_only=True)

@@ -15,6 +15,7 @@ from .gcn_sample import (
 )
 from .layers import BlockSparseLinear, make_block_mask
 from .moe import BlockSparseMoE
+from .pp import make_pp_train_step
 from .sp import make_sp_train_step
 from .train import (
     lm_loss,
@@ -42,6 +43,7 @@ __all__ = [
     "TransformerConfig",
     "lm_loss",
     "make_block_mask",
+    "make_pp_train_step",
     "make_sharded_decode",
     "make_sharded_train_step",
     "make_sp_train_step",
