@@ -2,9 +2,11 @@
 
 Each expert is a Blocked-ELL sparse FFN (up -> gelu -> down on the same
 custom-VJP SpMM the dense-FFN transformer uses); routing is Switch-style
-top-1 with a static capacity (one-hot dispatch/combine einsums — MXU-
-friendly static shapes, the classic TPU MoE formulation) plus the standard
-load-balancing auxiliary loss.
+top-1 with a static capacity, dispatched by a stable argsort over expert
+assignments (N log N + two scatters/gathers, static shapes — the
+production-scale TPU layout; drop decisions are identical to the classic
+cumsum-of-one-hot formulation because the sort is stable) plus the
+standard load-balancing auxiliary loss.
 
 Two execution layouts:
 
@@ -121,26 +123,50 @@ class BlockSparseMoE:
         }
 
     # -- routing ----------------------------------------------------------
+    # Sort-based dispatch: stable argsort by expert gives every token its
+    # arrival-order rank within its expert (identical drop decisions to
+    # the classic cumsum-of-one-hot formulation) without materializing the
+    # O(N*E*C) dispatch tensor — N log N sort + two gathers/scatters, the
+    # production-scale TPU MoE layout.
     def _route(self, params, x, capacity: int):
-        """x [N, d] -> (comb [N, E, C], gate_val [N], aux scalar)."""
+        """x [N, d] -> (slot [N] int32 into the flat [E*C (+1 drop)] slab,
+        keep [N] bool, gate_val [N], aux scalar)."""
         E = self.n_experts
+        N = x.shape[0]
         logits = dense_apply(params["gate"], x).astype(jnp.float32)
         p = jax.nn.softmax(logits, axis=-1)            # [N, E]
         e = jnp.argmax(p, axis=-1)                     # [N]
-        onehot = jax.nn.one_hot(e, E, dtype=jnp.float32)
-        gate_val = (p * onehot).sum(-1)                # [N]
-        # position of each token within its expert (arrival order)
-        rank = jnp.take_along_axis(jnp.cumsum(onehot, axis=0), e[:, None],
-                                   axis=1).squeeze(1) - 1.0
-        keep = rank < capacity
-        comb = (onehot * keep[:, None])[:, :, None] * jax.nn.one_hot(
-            rank.astype(jnp.int32), capacity,
-            dtype=jnp.float32)[:, None, :]                   # [N, E, C]
+        gate_val = jnp.take_along_axis(p, e[:, None], axis=1).squeeze(1)
+        counts = jnp.zeros((E,), jnp.int32).at[e].add(1)
+        starts = jnp.cumsum(counts) - counts           # [E]
+        order = jnp.argsort(e, stable=True)            # tokens grouped
+        rank_s = jnp.arange(N, dtype=jnp.int32) - starts[e[order]]
+        keep_s = rank_s < capacity
+        slot_s = jnp.where(keep_s, e[order] * capacity + rank_s, E * capacity)
+        # back to token order (scatter the sorted slots via the inverse)
+        slot = jnp.zeros((N,), jnp.int32).at[order].set(slot_s)
+        keep = jnp.zeros((N,), bool).at[order].set(keep_s)
         # Switch aux loss: E * sum_e fraction_routed_e * mean_prob_e
-        f = onehot.mean(axis=0)
+        f = (counts / N).astype(jnp.float32)
         pr = p.mean(axis=0)
         aux = E * (f * pr).sum()
-        return comb, gate_val, aux
+        return slot, keep, gate_val, aux
+
+    def _dispatch(self, x, slot, capacity: int):
+        """x [N, d] -> expert slabs [E, C, d] (dropped tokens land in the
+        trailing garbage slot and are sliced off)."""
+        E = self.n_experts
+        buf = jnp.zeros((E * capacity + 1, x.shape[1]), jnp.float32)
+        buf = buf.at[slot].set(x.astype(jnp.float32))
+        return buf[: E * capacity].reshape(E, capacity, x.shape[1])
+
+    @staticmethod
+    def _combine(ye, slot, keep, gate_val):
+        """ye [E, C, d] -> per-token outputs [N, d] (dropped tokens 0)."""
+        flat = ye.reshape(-1, ye.shape[-1]).astype(jnp.float32)
+        flat = jnp.concatenate([flat, jnp.zeros((1, ye.shape[-1]),
+                                                jnp.float32)])
+        return flat[slot] * (gate_val * keep)[:, None]
 
     def capacity(self, n_tokens: int) -> int:
         return max(int(np.ceil(n_tokens / self.n_experts
@@ -160,16 +186,16 @@ class BlockSparseMoE:
         xf = x.reshape(-1, self.d_model)
         N = xf.shape[0]
         C = capacity if capacity is not None else self.capacity(N)
-        comb, gate_val, aux = self._route(params, xf, C)
-        xe = jnp.einsum("nec,nd->ecd", comb, xf.astype(jnp.float32))
+        slot, keep, gate_val, aux = self._route(params, xf, C)
+        xe = self._dispatch(xf, slot, C)
         ys = []
         for ei in range(self.n_experts):
             ys.append(_expert_ffn(
                 self.up_cols[ei], self.up_nb[ei], params["up_vals"][ei],
                 self.dn_cols[ei], self.dn_nb[ei], params["down_vals"][ei],
                 xe[ei].astype(x.dtype), self.d_model, self.d_ff, self.block))
-        ye = jnp.stack(ys).astype(jnp.float32)          # [E, C, d]
-        y = jnp.einsum("nec,ecd->nd", comb, ye) * gate_val[:, None]
+        ye = jnp.stack(ys)                              # [E, C, d]
+        y = self._combine(ye, slot, keep, gate_val)
         y = y.astype(x.dtype).reshape(*lead, self.d_model)
         return (y, aux) if return_aux else y
 
@@ -183,8 +209,8 @@ class BlockSparseMoE:
             lambda a: lax.pcast(a, (axis,), to="varying"), params["gate"])
         N_l = x.shape[0]
         C = self.capacity(N_l)
-        comb, gate_val, aux = self._route({"gate": gate}, x, C)
-        xe = jnp.einsum("nec,nd->ecd", comb, x.astype(jnp.float32))
+        slot, keep, gate_val, aux = self._route({"gate": gate}, x, C)
+        xe = self._dispatch(x, slot, C)
         # dispatch: every shard sends its [E, C, d] buffer's expert slabs
         # to the experts' owners -> [El, n*C, d] local work
         xa = lax.all_to_all(xe, axis, split_axis=0, concat_axis=1,
@@ -199,8 +225,7 @@ class BlockSparseMoE:
         # return trip: give each token shard its capacity slab back
         ye = lax.all_to_all(ya, axis, split_axis=1, concat_axis=0,
                             tiled=True)                 # [E, C, d]
-        y = jnp.einsum("nec,ecd->nd", comb, ye) * gate_val[:, None]
-        y = y.astype(x.dtype)
+        y = self._combine(ye, slot, keep, gate_val).astype(x.dtype)
         if not return_aux:
             return y
         return y, lax.pmean(aux, axis)
