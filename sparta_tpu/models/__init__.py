@@ -16,6 +16,7 @@ from .gcn_sample import (
 from .layers import BlockSparseLinear, make_block_mask
 from .moe import BlockSparseMoE
 from .pp import make_pp_train_step
+from .serve import generate, sample_logits
 from .sp import make_sp_train_step
 from .train import (
     lm_loss,
@@ -48,4 +49,6 @@ __all__ = [
     "make_sharded_train_step",
     "make_sp_train_step",
     "make_train_step",
+    "generate",
+    "sample_logits",
 ]

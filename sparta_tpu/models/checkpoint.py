@@ -37,6 +37,11 @@ def save_params(path: str | Path, params, model=None) -> None:
             structure[f"ffn_up_{i}_nb"] = np.asarray(up.nb_row)
             structure[f"ffn_down_{i}_cols"] = np.asarray(down.cols_idx)
             structure[f"ffn_down_{i}_nb"] = np.asarray(down.nb_row)
+        for i, moe in enumerate(getattr(model, "moe", ()) or ()):
+            structure[f"moe_{i}_up_cols"] = np.asarray(moe.up_cols)
+            structure[f"moe_{i}_up_nb"] = np.asarray(moe.up_nb)
+            structure[f"moe_{i}_dn_cols"] = np.asarray(moe.dn_cols)
+            structure[f"moe_{i}_dn_nb"] = np.asarray(moe.dn_nb)
         np.savez_compressed(str(path) + ".structure.npz", **structure)
         meta = {k: v for k, v in vars(model.cfg).items()}
         Path(str(path) + ".meta.json").write_text(json.dumps(meta))

@@ -65,9 +65,9 @@ def _sp_forward_local(model: BlockSparseTransformer, params, tokens,
         out = out.swapaxes(1, 2).reshape(Bl, Tl, cfg.d_model)
         x = x + dense_apply(lp["proj"], out)
         hdn = layernorm_apply(lp["ln2"], x)
-        hdn = model.ffn_up[i].apply(lp["ffn_up"], hdn)
-        hdn = jax.nn.gelu(hdn)
-        hdn = model.ffn_down[i].apply(lp["ffn_down"], hdn)
+        # token-local FFN — dense block-sparse pair or MoE (routing and
+        # capacity are then per sequence shard, the standard composition)
+        hdn, _ = model._ffn(i, lp, hdn)
         x = x + hdn
     x = layernorm_apply(params["final_ln"], x)
     return (x @ params["embed"].T.astype(dtype)).astype(jnp.float32)

@@ -128,6 +128,28 @@ def test_moe_transformer_decode_matches_forward(moe_model):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_moe_checkpoint_roundtrip(tmp_path, moe_model):
+    """MoE params (gate + stacked expert vals) and expert block structure
+    round-trip through the npz checkpoint."""
+    from sparta_tpu.models.checkpoint import load_params, save_params
+
+    model, params, tokens = moe_model
+    save_params(tmp_path / "ckpt.npz", params, model=model)
+    restored = load_params(tmp_path / "ckpt.npz", like=params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    z = np.load(tmp_path / "ckpt.npz.structure.npz")
+    np.testing.assert_array_equal(z["moe_0_up_cols"],
+                                  np.asarray(model.moe[0].up_cols))
+    # device_put the restored numpy leaves (as real usage would): eager
+    # numpy-leaf math takes numpy's reduction order, not XLA's
+    restored = jax.tree.map(jnp.asarray, restored)
+    logits_a = model.apply(params, tokens[:, :8])
+    logits_b = model.apply(restored, tokens[:, :8])
+    np.testing.assert_array_equal(np.asarray(logits_a),
+                                  np.asarray(logits_b))
+
+
 def test_moe_transformer_ep_train_matches_unsharded(moe_model):
     """(dp, ep) GSPMD training: expert vals sharded on the expert axis;
     first-step loss equals the unsharded lm_loss and training converges."""

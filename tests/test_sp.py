@@ -125,6 +125,29 @@ def test_sp_train_step_reduces_loss(sp_setup):
     assert losses[-1] < losses[0]
 
 
+def test_sp_moe_composition_matches_unsharded():
+    """Sequence parallelism composes with the MoE FFN (routing/capacity
+    per sequence shard): with ample capacity (dropless both ways) and
+    aux_weight=0 (aux statistics are shard-local by design), the sp loss
+    equals the unsharded lm_loss exactly."""
+    cfg = TransformerConfig(
+        vocab=64, d_model=32, n_heads=2, n_layers=2, d_ff=64, max_seq=128,
+        block=16, ffn_block_density=0.5, attention="local", attn_window=2,
+        attn_global_blocks=1, moe_experts=4, moe_capacity=8.0,
+        moe_aux_weight=0.0)
+    model = BlockSparseTransformer.create(cfg, jax.random.PRNGKey(0))
+    params = model.init(jax.random.PRNGKey(2))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 128), 0, 64)
+    mesh = make_mesh_2d((2, 4), axes=("dp", "sp"))
+    sp_loss = jax.shard_map(
+        functools.partial(_sp_loss_local, model, axis_dp="dp", axis_sp="sp",
+                          n_dp=2, n_sp=4),
+        mesh=mesh, in_specs=(P(), P("dp", "sp")), out_specs=P())
+    l_sp = float(sp_loss(params, tokens))
+    l_ref = float(lm_loss(model, params, tokens))
+    assert l_sp == pytest.approx(l_ref, abs=1e-5)
+
+
 def test_sp_train_step_rejects_dense_attention():
     cfg = TransformerConfig(
         vocab=32, d_model=16, n_heads=2, n_layers=1, d_ff=32, max_seq=64,
