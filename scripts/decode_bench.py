@@ -61,9 +61,22 @@ def main():
            "d_model": base.d_model, "n_layers": base.n_layers,
            "max_seq": base.max_seq}
 
-    for mode in ("dense", "local"):
-        cfg = dataclasses.replace(base, attention=mode, attn_window=4,
-                                  attn_global_blocks=1)
+    # third cell: local attention + MoE FFN — E full-width experts, top-1
+    # routed, so ACTIVE FLOPs per token match the dense-FFN local config
+    # (E x the parameters); measures the routing/dispatch overhead of
+    # serving a conditional-compute model
+    n_exp = 4 if args.quick else 8
+    modes = [
+        ("dense", {}),
+        ("local", {}),
+        ("local_moe", {"moe_experts": n_exp, "moe_capacity": 2.0}),
+    ]
+    for mode, extra in modes:
+        cfg = dataclasses.replace(base,
+                                  attention="dense" if mode == "dense"
+                                  else "local",
+                                  attn_window=4, attn_global_blocks=1,
+                                  **extra)
         model = BlockSparseTransformer.create(cfg, jax.random.key(0))
         params = model.init(jax.random.key(1))
         cache0 = model.init_cache(batch=args.batch)

@@ -42,6 +42,8 @@ JOBS = [
     ("budget_probe", [sys.executable, "scripts/budget_probe.py"], 3600, 2),
     ("attention_bench", [sys.executable, "scripts/attention_bench.py"], 3600, 2),
     ("decode_bench", [sys.executable, "scripts/decode_bench.py"], 2400, 2),
+    ("inference_bench", [sys.executable, "scripts/inference_bench.py"],
+     2400, 2),
     ("realworld_fine",
      [sys.executable, "scripts/realworld_campaign.py", "--skip-parity",
       "--autotune"], 10800, 2),
