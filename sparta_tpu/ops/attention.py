@@ -83,6 +83,47 @@ def build_block_mask(T_q: int, T_k: int, block: int = 128, *,
                      causal=causal)
 
 
+def block_mask_from_csr(m, block: int = 128, *, grouping=None,
+                        causal: bool = False,
+                        symmetric: bool = True) -> BlockMask:
+    """Attention pattern from a sparse matrix's block structure — the
+    bridge between the reorder engine and block-sparse attention.
+
+    Tile the (optionally reordered) CSR into ``block`` x ``block`` cells;
+    every occupied cell becomes an attention block (graph-structured /
+    data-derived sparsity, e.g. a graph transformer attending along a
+    reordered adjacency).  ``grouping`` applies a BlockingEngine grouping
+    symmetrically (rows AND columns — token identity must permute both
+    ways) before tiling, so a similarity reorder concentrates the pattern
+    into fewer blocks exactly as it does for SpMM.  ``symmetric`` ors the
+    pattern with its transpose (attention edges are usually undirected);
+    ``causal`` keeps lower-triangular blocks and adds the intra-block
+    triangular mask.  Rows/cols pad up to a block multiple.
+    """
+    from ..utils import get_permutation
+
+    csr = m.to_scipy().tocoo()
+    r, c = np.asarray(csr.row), np.asarray(csr.col)
+    if grouping is not None:
+        perm = np.asarray(get_permutation(grouping))
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(perm.size)
+        r, c = inv[r], inv[c]
+    nbr = -(-m.rows // block)
+    nbc = -(-m.cols // block)
+    pairs = {(int(i), int(j)) for i, j in zip(r // block, c // block)}
+    if symmetric:
+        pairs |= {(j, i) for i, j in pairs if j < nbr and i < nbc}
+    # every query tile must see its diagonal (a token always attends to
+    # itself, and an all-masked softmax row would NaN)
+    pairs |= {(i, i) for i in range(min(nbr, nbc))}
+    if causal:
+        pairs = {(i, j) for i, j in pairs if j <= i}
+    br, bc = zip(*sorted(pairs))
+    return BlockMask(br=br, bc=bc, nbr=nbr, nbc=nbc, block=block,
+                     causal=causal)
+
+
 @functools.lru_cache(maxsize=64)
 def _mask_to_ell(mask: BlockMask):
     """ELL-ify the block list: every block-row padded to the max blocks

@@ -205,6 +205,73 @@ def _build_plan(bell: BELL, kind: str, tn: int, n_parts: int, chunk: int,
     )
 
 
+# ---- persistent autotune cache ------------------------------------------
+# Measured winners keyed by (structure fingerprint, N, dtype, backend,
+# kernel version); serving workloads rebuild identical plans every process
+# start, so caching the measurement amortizes autotune to once per
+# structure.  Bump _AUTOTUNE_VERSION when kernel behavior changes.
+_AUTOTUNE_VERSION = 1
+
+
+def _autotune_cache_path():
+    import os
+    from pathlib import Path
+
+    p = os.environ.get("SPARTA_TPU_AUTOTUNE_CACHE")
+    if p == "0":
+        return None
+    return Path(p) if p else (Path.home() / ".cache" / "sparta_tpu"
+                              / "autotune.json")
+
+
+def _autotune_key(bell: BELL, N: int, dtype) -> str:
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.asarray(bell.nb_row, np.int64).tobytes())
+    h.update(np.asarray(bell.cols_idx, np.int64).tobytes())
+    for v in (*bell.shape, bell.block_row_size, bell.block_col_size, N,
+              _AUTOTUNE_VERSION):
+        h.update(int(v).to_bytes(8, "little", signed=True))
+    h.update(str(jnp.dtype(dtype)).encode())
+    h.update(jax.default_backend().encode())
+    return h.hexdigest()
+
+
+def _autotune_cache_get(key: str):
+    path = _autotune_cache_path()
+    if path is None or not path.exists():
+        return None
+    try:
+        import json
+
+        return json.loads(path.read_text()).get(key)
+    except Exception:  # noqa: BLE001 — a corrupt cache is a miss
+        return None
+
+
+def _autotune_cache_put(key: str, entry: dict) -> None:
+    path = _autotune_cache_path()
+    if path is None:
+        return
+    try:
+        import json
+
+        path.parent.mkdir(parents=True, exist_ok=True)
+        data = {}
+        if path.exists():
+            try:
+                data = json.loads(path.read_text())
+            except Exception:  # noqa: BLE001
+                data = {}
+        data[key] = entry
+        tmp = path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(data))
+        tmp.replace(path)
+    except Exception:  # noqa: BLE001 — cache writes are best-effort
+        pass
+
+
 def plan_spmm(bell: BELL, N: int, dtype=jnp.float32,
               tile_n: int | None = None, autotune: bool = False) -> SpmmPlan:
     """Pick the fastest device path for this blocked matrix and operand
@@ -219,7 +286,11 @@ def plan_spmm(bell: BELL, N: int, dtype=jnp.float32,
     random operand and returns the empirical winner — the model's error
     between close candidates is ±30%, so benches that publish numbers
     should autotune; the one-time cost is building + timing 2–3 device
-    layouts."""
+    layouts.  Winners persist in an on-disk cache keyed by the structure
+    fingerprint (``~/.cache/sparta_tpu/autotune.json``; override with
+    ``SPARTA_TPU_AUTOTUNE_CACHE=<path>``, disable with ``=0``), so a
+    serving process that rebuilds the same plan pays the measurement only
+    once ever."""
     bh, bw = bell.block_row_size, bell.block_col_size
     Np = -(-N // 128) * 128
 
@@ -232,6 +303,15 @@ def plan_spmm(bell: BELL, N: int, dtype=jnp.float32,
     if not autotune or jax.default_backend() == "cpu" or len(cands) == 1:
         _, kind, tn, n_parts, chunk = cands[0]
         return _build_plan(bell, kind, tn, n_parts, chunk, dtype)
+
+    key = _autotune_key(bell, N, dtype)
+    hit = _autotune_cache_get(key)
+    if hit is not None:
+        try:
+            return _build_plan(bell, hit["kind"], hit["tn"],
+                               hit["n_parts"], hit["chunk"], dtype)
+        except Exception:  # noqa: BLE001 — stale entry: re-measure
+            pass
 
     from ..bench.timing import time_op
 
@@ -248,8 +328,11 @@ def plan_spmm(bell: BELL, N: int, dtype=jnp.float32,
         except Exception:  # noqa: BLE001 — a faulting candidate loses
             continue
         if best is None or avg < best[0]:
-            best = (avg, plan)
+            best = (avg, plan, (kind, tn, n_parts, chunk))
     if best is None:  # every candidate failed: fall back to the model pick
         _, kind, tn, n_parts, chunk = cands[0]
         return _build_plan(bell, kind, tn, n_parts, chunk, dtype)
+    kind, tn, n_parts, chunk = best[2]
+    _autotune_cache_put(key, {"kind": kind, "tn": tn, "n_parts": n_parts,
+                              "chunk": chunk, "ms": round(best[0] * 1e3, 4)})
     return best[1]

@@ -217,3 +217,57 @@ def test_bsa_impl_dispatch():
     p = np.asarray(block_sparse_attention(q, k, v, mask, impl="pallas"))
     np.testing.assert_allclose(a, x, rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(p, x, rtol=2e-5, atol=2e-5)
+
+
+def test_block_mask_from_csr_graph_pattern():
+    """Data-derived attention pattern: every nnz of the (reordered) matrix
+    lands inside a mask block; reordering concentrates the pattern into
+    fewer blocks; attention through the pattern matches the dense oracle."""
+    from sparta_tpu.formats import random_block_csr
+    from sparta_tpu.ops.attention import block_mask_from_csr
+    from sparta_tpu.reorder import BlockingEngine
+    from sparta_tpu.definitions import BlockingType
+
+    b = 16
+    m = random_block_csr(8 * b, 8 * b, block=b, block_density=0.2,
+                         intra_density=0.5, seed=3)  # shuffled rows
+    mask_nat = block_mask_from_csr(m, b)
+    # coverage: every nonzero inside some block
+    dm = dense_mask_from_block_mask(mask_nat)
+    coo = m.to_scipy().tocoo()
+    sym = set(zip(coo.row.tolist(), coo.col.tolist()))
+    sym |= {(c, r) for r, c in sym}
+    assert all(dm[r, c] for r, c in sym)
+
+    eng = BlockingEngine(tau=0.3, col_block_size=b, row_block_size=b,
+                         blocking_algo=BlockingType.iterative_clocked,
+                         force_fixed_size=True)
+    grouping = eng.get_grouping(m)
+    mask_re = block_mask_from_csr(m, b, grouping=grouping)
+    assert mask_re.n_blocks <= mask_nat.n_blocks  # reorder concentrates
+
+    # attention through the data-derived pattern == dense-masked oracle
+    rng = np.random.default_rng(0)
+    T = mask_nat.nbr * b
+    q, k, v = _qkv(rng, (T, 64))
+    got = np.asarray(block_sparse_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), mask_nat,
+        impl="xla"))
+    ref = _dense_attention(q, k, v, dm, 1.0 / np.sqrt(64))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_block_mask_from_csr_causal_and_diagonal():
+    """causal=True keeps lower-triangular blocks + intra-block tri; the
+    diagonal is always present so no softmax row is empty."""
+    from sparta_tpu.formats.csr import rmat_csr
+    from sparta_tpu.ops.attention import block_mask_from_csr
+
+    m = rmat_csr(7, edge_factor=2, seed=1)
+    mask = block_mask_from_csr(m, 16, causal=True)
+    assert all(j <= i for i, j in zip(mask.br, mask.bc))
+    assert mask.causal
+    diag = {(i, i) for i in range(mask.nbr)}
+    assert diag <= set(zip(mask.br, mask.bc))
+    dm = dense_mask_from_block_mask(mask)
+    assert dm.diagonal().all()

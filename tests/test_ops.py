@@ -403,6 +403,53 @@ def test_plan_spmm_models_both_chunks_and_optimal_chunk_runs():
     np.testing.assert_allclose(C, dense @ B, rtol=1e-4, atol=1e-4)
 
 
+def test_plan_spmm_autotune_cache_roundtrip(tmp_path, monkeypatch):
+    """Autotuned winners persist: the second plan_spmm for the same
+    structure builds straight from the cache (no re-measurement), and a
+    cached plan computes correctly."""
+    from sparta_tpu.formats import bell_from_csr, random_block_csr
+    from sparta_tpu.ops import pad_b_for_bell
+
+    import sparta_tpu.bench.timing as timing
+    import sparta_tpu.ops.select as sel
+
+    monkeypatch.setenv("SPARTA_TPU_AUTOTUNE_CACHE",
+                       str(tmp_path / "autotune.json"))
+    # bypass the cpu gate so the autotune branch runs (time_op works on
+    # the CPU backend; the cache logic is backend-agnostic)
+    monkeypatch.setattr(sel.jax, "default_backend", lambda: "tpu")
+
+    m = random_block_csr(512, 512, block=128, block_density=0.3,
+                         intra_density=0.3, seed=6)
+    bell = bell_from_csr(m, None, block_row_size=128)
+    B = np.random.default_rng(1).standard_normal((512, 128)).astype(
+        np.float32)
+    C_ref = m.to_scipy() @ B
+
+    calls = []
+    real_time_op = timing.time_op
+
+    def counting_time_op(*a, **k):
+        calls.append(1)
+        return real_time_op(*a, **k)
+
+    monkeypatch.setattr(timing, "time_op", counting_time_op)
+    plan1 = sel.plan_spmm(bell, 128, autotune=True)
+    assert calls, "first call must measure"
+    assert (tmp_path / "autotune.json").exists()
+
+    calls.clear()
+    plan2 = sel.plan_spmm(bell, 128, autotune=True)
+    assert not calls, "second call must hit the cache"
+    assert plan2.backend == plan1.backend
+    C = np.asarray(plan2(jnp.asarray(pad_b_for_bell(B, bell))))
+    np.testing.assert_allclose(C[:512], C_ref, rtol=1e-4, atol=1e-4)
+
+    # a different N is a different key -> measures again
+    sel.plan_spmm(bell, 256, autotune=True)
+    assert calls
+
+
 @pytest.mark.parametrize("relu", [False, True])
 def test_bell_spmm_unrolled_epilogue(problem, relu):
     from sparta_tpu.ops import (
