@@ -240,28 +240,46 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
         sub = fam[0][1]
         dev = run = None
         # measured pick among close fine-family candidates (same ±30%
-        # model-error rationale as plan_spmm's autotune)
+        # model-error rationale as plan_spmm's autotune); winners persist
+        # in the same on-disk cache plan_spmm uses (keyed by the CSR
+        # structure fingerprint), so repeated builds skip the measurement
         close = [g for t, g in fam if t <= 2.5 * fam[0][0]]
         if autotune and len(close) > 1 and jax.default_backend() != "cpu":
             from ..bench.timing import time_op
+            from .select import _autotune_cache_get, _autotune_cache_put
 
-            Bt = jnp.asarray(np.random.default_rng(0).standard_normal(
-                (K, Np)).astype(np.float32), dtype=dtype)
-            winner = None  # (avg, tag, dev, run) — keep the MEASURED build
-            for g in close:
-                d, r = build(g)
-                try:
-                    avg, _, _ = time_op(lambda B: r(d, B), Bt, warmup=1,
-                                        reps=2, target_time=0.1)
-                except Exception:  # noqa: BLE001 — a faulting variant loses
-                    del d
-                    continue
-                if winner is None or avg < winner[0]:
-                    winner = (avg, g, d, r)  # at most 2 devices alive
-                else:
-                    del d
-            if winner is not None:
-                _, sub, dev, run = winner
+            import hashlib
+
+            h = hashlib.blake2b(b"csr_fine", digest_size=16)
+            h.update(np.asarray(cmat.indptr).tobytes())
+            h.update(np.asarray(cmat.indices).tobytes())
+            h.update(f"{cmat.shape}/{N}/{jnp.dtype(dtype)}/"
+                     f"{jax.default_backend()}".encode())
+            key = h.hexdigest()
+            hit = _autotune_cache_get(key)
+            if hit is not None and hit.get("tag") in close:
+                sub = hit["tag"]
+                dev, run = build(sub)
+            else:
+                Bt = jnp.asarray(np.random.default_rng(0).standard_normal(
+                    (K, Np)).astype(np.float32), dtype=dtype)
+                winner = None  # (avg, tag, dev, run) — keep MEASURED build
+                for g in close:
+                    d, r = build(g)
+                    try:
+                        avg, _, _ = time_op(lambda B: r(d, B), Bt, warmup=1,
+                                            reps=2, target_time=0.1)
+                    except Exception:  # noqa: BLE001 — faulting loses
+                        del d
+                        continue
+                    if winner is None or avg < winner[0]:
+                        winner = (avg, g, d, r)  # at most 2 devices alive
+                    else:
+                        del d
+                if winner is not None:
+                    _, sub, dev, run = winner
+                    _autotune_cache_put(
+                        key, {"tag": sub, "ms": round(winner[0] * 1e3, 4)})
         if dev is None:
             dev, run = build(sub)
         if N == Np:
