@@ -44,6 +44,8 @@ JOBS = [
     ("decode_bench", [sys.executable, "scripts/decode_bench.py"], 2400, 2),
     ("inference_bench", [sys.executable, "scripts/inference_bench.py"],
      2400, 2),
+    ("ring_kernel_probe", [sys.executable, "scripts/ring_kernel_probe.py"],
+     2400, 2),
     ("realworld_fine",
      [sys.executable, "scripts/realworld_campaign.py", "--skip-parity",
       "--autotune"], 10800, 2),

@@ -1,0 +1,179 @@
+"""Fused ring SpMM: compute/communication overlap inside ONE Pallas kernel.
+
+``spmm_ring`` (parallel/spmm.py) rotates B column shards with XLA-level
+``ppermute`` — each rotation is a separate collective the XLA scheduler may
+or may not overlap with the SpMM.  This kernel fuses the whole ring: every
+device keeps its A row stripe resident in VMEM and, per step, multiplies
+the B shard it currently holds while the SAME shard is already streaming
+to the left neighbor over ICI via an async remote DMA
+(`pltpu.make_async_remote_copy`) — guaranteed overlap, no XLA scheduling
+boundary, one kernel launch for the whole multi-chip product.
+
+Slot safety uses a credit protocol (the standard ring flow control): the
+receiver signals one credit to its sender (right neighbor) whenever a
+double-buffer slot becomes free — a send may only start after taking a
+credit, so a fast sender can never overwrite a slot its lagging receiver
+is still reading.  Credits are exactly balanced (1 initial + one per
+completed step), so all semaphores drain to zero by kernel exit.
+
+Layout contract (mirrors ``spmm_ring``): A row-sharded (BellDevice arrays,
+ELL), B column-sharded ``P(None, axis)``; output C row-sharded
+``P(axis, None)``.  Resident-A variant: the local vals and two B-shard
+slots must fit VMEM (the regime where the ring pays — B too big to
+replicate, A stripe small enough to stay resident).
+
+Runs in interpret mode on the virtual CPU mesh (tested bit-true against
+the ppermute ring and the scipy oracle) and compiles for real ICI rings
+unchanged.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.device import BellDevice
+
+
+def _ring_kernel(nb_ref, cols_ref, vals_ref, b_ref, out_ref,
+                 bslots, acc, send_sem, recv_sem, out_sem, cap_sem,
+                 *, n: int, axis: str, nbr: int, bh: int, bw: int,
+                 n_chunk: int, use_credits: bool):
+    # use_credits=False only in interpret mode: the simulator does not
+    # implement remote semaphore_signal, and its deterministic serialized
+    # schedule cannot race a sender past a lagging receiver; compiled
+    # kernels ALWAYS run the credit protocol.
+    me = lax.axis_index(axis)
+    left = lax.rem(me - 1 + n, n)
+    right = lax.rem(me + 1, n)
+
+    # local B shard into slot 0; the right neighbor's first send targets
+    # slot 1 (never read before its recv), so grant one initial credit
+    bslots[0] = b_ref[:].astype(bslots.dtype)
+    if use_credits:
+        pltpu.semaphore_signal(cap_sem, inc=1, device_id=right)
+
+    def step(s, _):
+        cur = lax.rem(s, 2)
+        nxt = lax.rem(s + 1, 2)
+
+        @pl.when(s < n - 1)
+        def _():
+            # flow control: the left neighbor's slot `nxt` must be free
+            if use_credits:
+                pltpu.semaphore_wait(cap_sem, 1)
+            pltpu.make_async_remote_copy(
+                src_ref=bslots.at[cur], dst_ref=bslots.at[nxt],
+                send_sem=send_sem.at[cur], recv_sem=recv_sem.at[nxt],
+                device_id=left,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ).start()
+
+        # the shard in `cur` originated at device (me + s) % n: its C
+        # column stripe starts there
+        origin = lax.rem(me + s, n)
+
+        def row(i, _):
+            acc[...] = jnp.zeros_like(acc)
+
+            def blk(k, _):
+                c = cols_ref[i, k]
+                a = vals_ref[i, k]
+                btile = bslots[cur, pl.ds(c * bw, bw), :]
+                acc[...] += jax.lax.dot_general(
+                    a, btile, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return 0
+
+            lax.fori_loop(0, nb_ref[i], blk, 0)
+            cp = pltpu.make_async_copy(
+                acc, out_ref.at[pl.ds(i * bh, bh),
+                                pl.ds(origin * n_chunk, n_chunk)],
+                out_sem)
+            cp.start()
+            cp.wait()
+            return 0
+
+        lax.fori_loop(0, nbr, row, 0)
+
+        @pl.when(s < n - 1)
+        def _():
+            pltpu.make_async_remote_copy(
+                src_ref=bslots.at[cur], dst_ref=bslots.at[nxt],
+                send_sem=send_sem.at[cur], recv_sem=recv_sem.at[nxt],
+                device_id=left,
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            ).wait()
+
+        if use_credits:
+            @pl.when(s < n - 2)
+            def _():
+                # slot cur is now free (compute done, send drained): one
+                # more credit for the sender.  Credits balance: 1 initial
+                # + (n-2) here == the sender's (n-1) waits.
+                pltpu.semaphore_signal(cap_sem, inc=1, device_id=right)
+
+        return 0
+
+    lax.fori_loop(0, n, step, 0)
+
+
+def spmm_ring_pallas(bell_dev: BellDevice, B: jax.Array, mesh: Mesh,
+                     axis: str = "x", interpret: bool | None = None
+                     ) -> jax.Array:
+    """Row-sharded A x column-sharded B through the fused ring kernel.
+
+    Same contract as ``spmm_ring``: ``bell_dev`` row-sharded on ``axis``,
+    ``B [K, N]`` sharded over N, returns C ``[M, N]`` row-sharded.  N must
+    divide by the ring size; the local vals + 2 B slots must fit VMEM.
+    """
+    n = mesh.shape[axis]
+    N = B.shape[1]
+    if N % n:
+        raise ValueError(f"N={N} not divisible by ring size {n}")
+    n_chunk = N // n
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def local(ci, nb, v, b_local):
+        nbr, max_nb, bh, bw = v.shape
+        Kp = b_local.shape[0]
+        kern = functools.partial(
+            _ring_kernel, n=n, axis=axis, nbr=nbr, bh=bh, bw=bw,
+            n_chunk=n_chunk, use_credits=not interpret)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((nbr * bh, N), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # nb_row
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # cols_idx
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # vals (resident A)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # local B shard
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, Kp, n_chunk), v.dtype),   # ring slots
+                pltpu.VMEM((bh, n_chunk), jnp.float32),  # fp32 accumulator
+                pltpu.SemaphoreType.DMA((2,)),           # send
+                pltpu.SemaphoreType.DMA((2,)),           # recv
+                pltpu.SemaphoreType.DMA,                 # out write
+                pltpu.SemaphoreType.REGULAR,             # credits
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                collective_id=7, has_side_effects=True),
+        )(nb.astype(jnp.int32), ci.astype(jnp.int32), v, b_local)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis, None, None, None),
+                  P(None, axis)),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )(bell_dev.cols_idx, bell_dev.nb_row, bell_dev.vals, B)

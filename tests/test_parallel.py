@@ -227,3 +227,66 @@ def test_dedup_spmm_rowsharded_matches_oracle():
         C = np.asarray(dedup_spmm_rowsharded(sdev, B, mesh))
         ref = np.asarray(m.to_scipy() @ np.asarray(B))
         np.testing.assert_allclose(C, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_ring_kernel_matches_oracle_and_ppermute_ring(problem, mesh):
+    """The single-kernel RDMA ring (compute overlapped with the B-shard
+    rotation inside one pallas_call) must reproduce both the scipy oracle
+    and the XLA ppermute ring."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sparta_tpu.parallel import (
+        shard_bell_rowwise,
+        spmm_ring,
+        spmm_ring_pallas,
+    )
+
+    m, bell, B, C_ref = problem
+    dev = shard_bell_rowwise(bell, mesh)
+    Bcol = jax.device_put(jnp.asarray(B),
+                          NamedSharding(mesh, P(None, "x")))
+    C = np.asarray(spmm_ring_pallas(dev, Bcol, mesh))
+    np.testing.assert_allclose(C[: m.rows], C_ref, rtol=1e-4, atol=1e-4)
+    C2 = np.asarray(spmm_ring(dev, Bcol, mesh))
+    np.testing.assert_allclose(C[: m.rows], C2[: m.rows], rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_fused_ring_kernel_ring_sizes_and_dtype():
+    """Ring sizes 2 and 8; bf16 storage with fp32 accumulation."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sparta_tpu.formats import bell_from_csr, random_block_csr
+    from sparta_tpu.parallel import (
+        make_mesh,
+        shard_bell_rowwise,
+        spmm_ring_pallas,
+    )
+
+    for n, dt in ((2, jnp.float32), (8, jnp.bfloat16)):
+        mesh = make_mesh(n)
+        m = random_block_csr(16 * 4 * n, 16 * 4 * n, block=16,
+                             block_density=0.3, seed=9, shuffle_rows=False)
+        bell = bell_from_csr(m, None, block_row_size=16)
+        dev = shard_bell_rowwise(bell, mesh, dtype=dt)
+        N = 16 * n
+        B = np.random.default_rng(1).standard_normal(
+            (bell.shape[1], N)).astype(np.float32)
+        Bcol = jax.device_put(jnp.asarray(B, dtype=dt),
+                              NamedSharding(mesh, P(None, "x")))
+        C = np.asarray(spmm_ring_pallas(dev, Bcol, mesh), np.float32)
+        C_ref = (m.to_scipy() @ B[: m.cols]).astype(np.float32)
+        tol = 1e-4 if dt == jnp.float32 else 0.15
+        np.testing.assert_allclose(C[: m.rows], C_ref, rtol=tol, atol=tol)
+
+
+def test_fused_ring_kernel_rejects_indivisible_n(problem, mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sparta_tpu.parallel import shard_bell_rowwise, spmm_ring_pallas
+
+    m, bell, B, _ = problem
+    dev = shard_bell_rowwise(bell, mesh)
+    bad = jnp.asarray(B[:, :60])  # 60 % 8 != 0
+    with pytest.raises(ValueError, match="divisible"):
+        spmm_ring_pallas(dev, bad, mesh)
