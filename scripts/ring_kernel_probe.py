@@ -82,6 +82,35 @@ def main():
     out["ring_tfs"] = round(flops / avg / 1e12, 2)
     log(f"fused ring (n=1): {avg*1e6:9.1f} us ({out['ring_tfs']} TF/s)")
 
+    # the reduce-scatter dual, n=1 (compute + final copy, no RDMA hops)
+    from sparta_tpu.parallel import (
+        pad_block_rows,
+        split_bell_cols,
+        spmm_reduce_scatter_pallas,
+    )
+
+    bell_p = pad_block_rows(bell, 1)
+    ci, nb, v, k_part = split_bell_cols(bell_p, 1)
+    Bp = np.zeros((k_part * 128, N), np.float32)
+    Bp[: bell.shape[1]] = np.asarray(B, np.float32)
+    rs_in = (jnp.asarray(ci), jnp.asarray(nb),
+             jnp.asarray(v, dtype=dtype),
+             jnp.asarray(Bp.reshape(1, k_part * 128, N), dtype=dtype))
+    Crs = np.asarray(spmm_reduce_scatter_pallas(*rs_in, mesh))
+    err_rs = np.abs(Crs[: m.rows] - C_ref).max() / (np.abs(C_ref).max()
+                                                    + 1e-9)
+    log(f"n=1 fused reduce-scatter correctness rel_err: {err_rs:.2e}")
+    out["rs_rel_err"] = float(err_rs)
+    assert err_rs < 5e-2, f"fused reduce-scatter WRONG on chip: {err_rs}"
+    avg_rs, _, _ = time_op(
+        lambda b: spmm_reduce_scatter_pallas(rs_in[0], rs_in[1], rs_in[2],
+                                             b, mesh), rs_in[3],
+        warmup=1, reps=3)
+    out["rs_us"] = round(avg_rs * 1e6, 1)
+    out["rs_tfs"] = round(flops / avg_rs / 1e12, 2)
+    log(f"fused reduce-scatter (n=1): {avg_rs*1e6:9.1f} us "
+        f"({out['rs_tfs']} TF/s)")
+
     chunk = compact_auto_chunk(bell.nb_row)
     cpad = compact_from_host_padded(bell, chunk, dtype=dtype)
     avg2, _, _ = time_op(

@@ -70,15 +70,10 @@ def _one_layer(model: BlockSparseTransformer, x, lp, st):
         lp, layernorm_apply(lp["ln1"], x), cfg)
     h = layernorm_apply(lp["ln2"], x)
     lead = h.shape[:-1]
-    y = _expert_ffn(st["up_cols"], st["up_nb"], lp["ffn_up"]["vals"],
-                    st["dn_cols"], st["dn_nb"], lp["ffn_down"]["vals"],
-                    h.reshape(-1, cfg.d_model), cfg.d_model, cfg.d_ff,
-                    cfg.block)
     if "bias" in lp["ffn_down"]:
-        # _expert_ffn is bias-free (MoE experts); the dense-FFN transformer
-        # carries biases on both projections — apply them here.  The up
-        # bias rides INSIDE gelu, so recompute the up half with it:
-        # cheaper to fold both in directly than to special-case _expert_ffn
+        # the dense-FFN transformer carries biases on both projections
+        # (the up bias rides INSIDE gelu), so fold them in directly —
+        # _expert_ffn is the bias-free MoE variant
         from ..ops.autodiff import bell_spmm
 
         use_pallas = jax.default_backend() != "cpu"
@@ -97,6 +92,11 @@ def _one_layer(model: BlockSparseTransformer, x, lp, st):
                       lp["ffn_down"]["vals"].astype(h.dtype), use_pallas,
                       up_.T).T[:, : cfg.d_model]
         y = y + lp["ffn_down"]["bias"].astype(y.dtype)
+    else:
+        y = _expert_ffn(st["up_cols"], st["up_nb"], lp["ffn_up"]["vals"],
+                        st["dn_cols"], st["dn_nb"], lp["ffn_down"]["vals"],
+                        h.reshape(-1, cfg.d_model), cfg.d_model, cfg.d_ff,
+                        cfg.block)
     return x + y.reshape(*lead, cfg.d_model)
 
 

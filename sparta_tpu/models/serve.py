@@ -14,8 +14,6 @@ mesh.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -50,10 +48,19 @@ def generate(model: BlockSparseTransformer, params, prompt, n_new: int, *,
         key = jax.random.PRNGKey(0)  # unused but scan wants a value
     elif key is None:
         raise ValueError("temperature sampling needs a PRNG key")
+    default_step = step_fn is None
     step_fn = step_fn or model.decode_step
     total = P + n_new
 
-    @functools.partial(jax.jit, static_argnums=())
+    # the jitted scan is cached per (model config, shapes, sampler): a
+    # fresh closure every call would silently retrace per generation
+    if default_step:
+        cache_key = (cfg, B, P, n_new, temperature, top_k)
+        cached = _RUN_CACHE.get(cache_key)
+        if cached is not None and cached[0] is model:
+            return cached[1](params, jnp.asarray(prompt, jnp.int32), key)
+
+    @jax.jit
     def run(params, prompt, key):
         buf = jnp.zeros((B, total), jnp.int32)
         buf = buf.at[:, :P].set(prompt)
@@ -75,4 +82,11 @@ def generate(model: BlockSparseTransformer, params, prompt, n_new: int, *,
                                    jnp.arange(total - 1))
         return buf
 
+    if default_step:
+        if len(_RUN_CACHE) > 32:
+            _RUN_CACHE.clear()
+        _RUN_CACHE[cache_key] = (model, run)
     return run(params, jnp.asarray(prompt, jnp.int32), key)
+
+
+_RUN_CACHE: dict = {}

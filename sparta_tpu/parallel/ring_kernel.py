@@ -1,13 +1,22 @@
-"""Fused ring SpMM: compute/communication overlap inside ONE Pallas kernel.
+"""Fused ring SpMM kernels: compute/communication overlap inside ONE
+Pallas kernel.
 
-``spmm_ring`` (parallel/spmm.py) rotates B column shards with XLA-level
-``ppermute`` — each rotation is a separate collective the XLA scheduler may
-or may not overlap with the SpMM.  This kernel fuses the whole ring: every
-device keeps its A row stripe resident in VMEM and, per step, multiplies
-the B shard it currently holds while the SAME shard is already streaming
-to the left neighbor over ICI via an async remote DMA
-(`pltpu.make_async_remote_copy`) — guaranteed overlap, no XLA scheduling
-boundary, one kernel launch for the whole multi-chip product.
+``spmm_ring`` / ``spmm_colsplit_reduce_scatter`` (parallel/spmm.py) leave
+the overlap of ICI transfers and MXU compute to the XLA scheduler (one
+collective per rotation / one big ``psum_scatter`` at the end).  The two
+kernels here fuse the whole ring:
+
+- ``spmm_ring_pallas`` — row-sharded A, column-sharded B: every device
+  keeps its A row stripe resident in VMEM and, per step, multiplies the B
+  shard it currently holds while the SAME shard is already streaming to
+  the left neighbor via `pltpu.make_async_remote_copy`.
+- ``spmm_reduce_scatter_pallas`` — column-split A, row-sharded B: each
+  step computes this device's partial product for the NEXT row stripe
+  while the previous accumulated stripe is still in flight, then adds and
+  forwards — a compute-fused ring reduce-scatter.
+
+Guaranteed overlap, no XLA scheduling boundary, one kernel launch for the
+whole multi-chip product.
 
 Slot safety uses a credit protocol (the standard ring flow control): the
 receiver signals one credit to its sender (right neighbor) whenever a
@@ -56,7 +65,9 @@ def _ring_kernel(nb_ref, cols_ref, vals_ref, b_ref, out_ref,
     # local B shard into slot 0; the right neighbor's first send targets
     # slot 1 (never read before its recv), so grant one initial credit
     bslots[0] = b_ref[:].astype(bslots.dtype)
-    if use_credits:
+    if use_credits and n > 1:
+        # n == 1 never sends: an unconsumed initial credit would leave the
+        # semaphore non-zero at kernel exit
         pltpu.semaphore_signal(cap_sem, inc=1, device_id=right)
 
     def step(s, _):
@@ -177,3 +188,149 @@ def spmm_ring_pallas(bell_dev: BellDevice, B: jax.Array, mesh: Mesh,
         out_specs=P(axis, None),
         check_vma=False,
     )(bell_dev.cols_idx, bell_dev.nb_row, bell_dev.vals, B)
+
+
+def _rs_kernel(nb_ref, cols_ref, vals_ref, b_ref, out_ref,
+               slots, pbuf, acc, send_sem, recv_sem, out_sem, cap_sem,
+               *, n: int, axis: str, nbr_loc: int, bh: int, bw: int,
+               use_credits: bool):
+    """Compute-fused ring reduce-scatter (see spmm_reduce_scatter_pallas).
+
+    Per step s, this device's partial product for row stripe
+    j = (me+1+s) % n is computed into ``pbuf`` WHILE the previous step's
+    accumulated chunk is still in flight over ICI; the incoming chunk is
+    then waited on, ``pbuf`` added, and the sum forwarded left.  After
+    n-1 hops stripe ``me`` has collected every device's contribution and
+    lands here — the fused form of ``psum_scatter``.
+    """
+    me = lax.axis_index(axis)
+    left = lax.rem(me - 1 + n, n)
+    right = lax.rem(me + 1, n)
+    if use_credits and n > 1:
+        # n == 1 never sends: an unconsumed initial credit would leave the
+        # semaphore non-zero at kernel exit
+        pltpu.semaphore_signal(cap_sem, inc=1, device_id=right)
+
+    def rdma(s):
+        cur = lax.rem(s, 2)
+        nxt = lax.rem(s + 1, 2)
+        return pltpu.make_async_remote_copy(
+            src_ref=slots.at[cur], dst_ref=slots.at[nxt],
+            send_sem=send_sem.at[cur], recv_sem=recv_sem.at[nxt],
+            device_id=left, device_id_type=pltpu.DeviceIdType.LOGICAL)
+
+    def step(s, _):
+        cur = lax.rem(s, 2)
+        j = lax.rem(me + 1 + s, n)     # stripe accumulated this step
+
+        # my contribution to stripe j — overlaps the in-flight transfer
+        def row(i, _):
+            acc[...] = jnp.zeros_like(acc)
+            gi = j * nbr_loc + i
+
+            def blk(k, _):
+                c = cols_ref[gi, k]
+                btile = b_ref[pl.ds(c * bw, bw), :]
+                acc[...] += jax.lax.dot_general(
+                    vals_ref[gi, k], btile, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return 0
+
+            lax.fori_loop(0, nb_ref[gi], blk, 0)
+            pbuf[pl.ds(i * bh, bh), :] = acc[...]
+            return 0
+
+        lax.fori_loop(0, nbr_loc, row, 0)
+
+        @pl.when(s > 0)
+        def _():
+            rdma(s - 1).wait()
+            slots[cur] += pbuf[...]
+
+        @pl.when(s == 0)
+        def _():
+            slots[cur] = pbuf[...]
+
+        @pl.when(s < n - 1)
+        def _():
+            if use_credits:
+                pltpu.semaphore_wait(cap_sem, 1)
+            rdma(s).start()
+
+        if use_credits:
+            @pl.when(s < n - 2)
+            def _():
+                pltpu.semaphore_signal(cap_sem, inc=1, device_id=right)
+
+        return 0
+
+    lax.fori_loop(0, n, step, 0)
+    # stripe `me`, fully reduced, sits in the final step's slot (every
+    # rdma was waited inside its successor step before accumulation)
+    last = (n - 1) % 2
+    cp = pltpu.make_async_copy(slots.at[last], out_ref, out_sem)
+    cp.start()
+    cp.wait()
+
+
+def spmm_reduce_scatter_pallas(cols_idx, nb_row, vals, B, mesh: Mesh,
+                               axis: str = "x",
+                               interpret: bool | None = None) -> jax.Array:
+    """Column-split A x row-sharded B with a COMPUTE-FUSED ring
+    reduce-scatter, all inside one Pallas kernel per device.
+
+    Same layout contract as ``spmm_colsplit_reduce_scatter``:
+    cols_idx [P, nbr, w] / nb_row [P, nbr] / vals [P, nbr, w, bh, bw]
+    (each device's K-slice sub-BELL from ``split_bell_cols``, block rows
+    padded to a multiple of the ring size via ``pad_block_rows``) and
+    B [P, k_part*bw, N].  Returns C [M, N] row-sharded.  Each step's
+    partial-product compute overlaps the previous accumulated chunk's ICI
+    transfer; flow control as in ``spmm_ring_pallas``.
+    """
+    n = mesh.shape[axis]
+    nbr = cols_idx.shape[1]
+    if nbr % n:
+        raise ValueError(f"block rows {nbr} not a multiple of ring size "
+                         f"{n}; pad_block_rows first")
+    nbr_loc = nbr // n
+    N = B.shape[-1]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def local(ci, nb, v, b):
+        ci, nb, v, b = ci[0], nb[0], v[0], b[0]
+        _, _, bh, bw = v.shape
+        kern = functools.partial(
+            _rs_kernel, n=n, axis=axis, nbr_loc=nbr_loc, bh=bh, bw=bw,
+            use_credits=not interpret)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((nbr_loc * bh, N), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # nb_row
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # cols_idx
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # vals (K-slice)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # local B rows
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, nbr_loc * bh, N), jnp.float32),  # ring slots
+                pltpu.VMEM((nbr_loc * bh, N), jnp.float32),     # my partial
+                pltpu.VMEM((bh, N), jnp.float32),               # row acc
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.REGULAR,
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                collective_id=8, has_side_effects=True),
+        )(nb.astype(jnp.int32), ci.astype(jnp.int32), v, b)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None),
+                  P(axis, None, None, None, None), P(axis, None, None)),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )(cols_idx, nb_row, vals, B).reshape(-1, N)

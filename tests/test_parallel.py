@@ -290,3 +290,42 @@ def test_fused_ring_kernel_rejects_indivisible_n(problem, mesh):
     bad = jnp.asarray(B[:, :60])  # 60 % 8 != 0
     with pytest.raises(ValueError, match="divisible"):
         spmm_ring_pallas(dev, bad, mesh)
+
+
+def test_fused_reduce_scatter_kernel_matches_oracle(problem, mesh):
+    """The compute-fused ring reduce-scatter (partial-product compute
+    overlapping the accumulated stripe's ICI transfer, one pallas_call)
+    must match the scipy oracle and the XLA psum_scatter layout."""
+    from sparta_tpu.parallel import (
+        pad_block_rows,
+        spmm_colsplit_reduce_scatter,
+        spmm_reduce_scatter_pallas,
+        split_bell_cols,
+    )
+
+    m, bell, B, C_ref = problem
+    n = 8
+    bell_p = pad_block_rows(bell, n)
+    ci, nb, v, k_part = split_bell_cols(bell_p, n)
+    N = B.shape[1]
+    bw = bell.block_col_size
+    Bp = np.zeros((n * k_part * bw, N), np.float32)
+    Bp[: B.shape[0]] = B
+    args = (jnp.asarray(ci), jnp.asarray(nb), jnp.asarray(v),
+            jnp.asarray(Bp.reshape(n, k_part * bw, N)))
+    C = np.asarray(spmm_reduce_scatter_pallas(*args, mesh))
+    np.testing.assert_allclose(C[: m.rows], C_ref, rtol=1e-4, atol=1e-4)
+    C2 = np.asarray(spmm_colsplit_reduce_scatter(*args, mesh))
+    np.testing.assert_allclose(C[: m.rows], C2[: m.rows], rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_fused_reduce_scatter_rejects_unpadded_rows(mesh):
+    from sparta_tpu.parallel import spmm_reduce_scatter_pallas
+
+    ci = jnp.zeros((8, 3, 1), jnp.int32)  # 3 block rows, ring of 8
+    nb = jnp.zeros((8, 3), jnp.int32)
+    v = jnp.zeros((8, 3, 1, 16, 16), jnp.float32)
+    B = jnp.zeros((8, 16, 32), jnp.float32)
+    with pytest.raises(ValueError, match="pad_block_rows"):
+        spmm_reduce_scatter_pallas(ci, nb, v, B, mesh)
