@@ -286,12 +286,12 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
             from ..ops import (
                 FP8BellCompactDevice,
                 bell_spmm_fp8_unrolled,
-                bell_spmm_int8_unrolled,
+                bell_spmm_int8_rowcol,
                 compact_auto_chunk,
-                quantize_b,
+                quantize_b_cols,
                 quantize_b_fp8,
             )
-            from ..ops.quant import QBellCompactDevice
+            from ..ops.quant import QBellRowColDevice
 
             chunk = compact_auto_chunk(bell.nb_row)
             bw = bell.block_col_size
@@ -303,8 +303,9 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
                 bell.shape[1], tn, bell.block_row_size, bw, chunk, 1
             ) <= VMEM_BUDGET:
                 if cfg.dtype == "int8":
-                    dev_q = QBellCompactDevice.from_bell(bell, chunk=chunk)
-                    quant, kern = quantize_b, bell_spmm_int8_unrolled
+                    # row/col scales: same speed, ~1.5x lower quant error
+                    dev_q = QBellRowColDevice.from_bell(bell, chunk=chunk)
+                    quant, kern = quantize_b_cols, bell_spmm_int8_rowcol
                 else:
                     dev_q = FP8BellCompactDevice.from_bell(bell, chunk=chunk)
                     quant, kern = quantize_b_fp8, bell_spmm_fp8_unrolled
@@ -315,8 +316,9 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
                     return kern(dev_q, jnp.asarray(Bq).reshape(B.shape),
                                 bscale, tn=tn, chunk=chunk)
 
+                kind = "rowcol" if cfg.dtype == "int8" else "unrolled"
                 return fnq, (bell.shape[1], Np), \
-                    f"bell_{cfg.dtype}_unrolled_tn{tn}_c{chunk}", fl
+                    f"bell_{cfg.dtype}_{kind}_tn{tn}_c{chunk}", fl
 
         from ..ops import plan_spmm
 

@@ -129,3 +129,75 @@ def test_fp8_roundtrip_quantization():
             worst = max(worst, np.abs(got - ref).max()
                         / (np.abs(ref).max() + 1e-9))
     assert worst < 8e-2  # e4m3 relative step
+
+
+def test_int8_rowcol_accuracy_beats_per_stripe():
+    """Row/col-scaled int8 kernel: correct vs the fp32 oracle AND at least
+    as accurate as the per-block/per-stripe scheme (the headline gate
+    depends on this — the coarser scheme fails 1e-2 marginally)."""
+    from sparta_tpu.ops.quant import (
+        QBellCompactDevice,
+        QBellRowColDevice,
+        bell_spmm_int8_rowcol,
+        bell_spmm_int8_unrolled,
+        quantize_b,
+        quantize_b_cols,
+    )
+
+    m = random_block_csr(256, 256, block=16, block_density=0.2,
+                         intra_density=0.3, seed=13, shuffle_rows=False)
+    bell = bell_from_csr(m, None, block_row_size=16)
+    B = np.random.default_rng(5).standard_normal((256, 64)).astype(np.float32)
+    Bp = pad_b_for_bell(B, bell)
+    C_ref = np.asarray(m.to_scipy() @ B)
+    denom = np.abs(C_ref).max() + 1e-9
+
+    qr = QBellRowColDevice.from_bell(bell, chunk=2)
+    Bqr, bsr = quantize_b_cols(jnp.asarray(Bp), bell.block_col_size)
+    assert bsr.shape == (Bp.shape[0] // bell.block_col_size, 64)
+    Cr = np.asarray(bell_spmm_int8_rowcol(qr, Bqr, bsr, tn=64, chunk=2))
+    rel_rc = np.abs(Cr[:256] - C_ref).max() / denom
+
+    qi = QBellCompactDevice.from_bell(bell, chunk=2)
+    Bqi, bsi = quantize_b(jnp.asarray(Bp), bell.block_col_size)
+    Ci = np.asarray(bell_spmm_int8_unrolled(
+        qi, jnp.asarray(Bqi).reshape(Bp.shape), bsi, tn=64, chunk=2))
+    rel_st = np.abs(Ci[:256] - C_ref).max() / denom
+
+    assert rel_rc < 2e-2, rel_rc
+    assert rel_rc <= rel_st * 1.05, (rel_rc, rel_st)
+
+
+def test_int8_rowcol_matches_dequant_oracle():
+    """The Pallas rowcol kernel == the exact dequantized math computed in
+    numpy from the same quantized arrays (bitwise-equivalent int32 dots,
+    fp32 scale application)."""
+    from sparta_tpu.ops.quant import (
+        QBellRowColDevice,
+        bell_spmm_int8_rowcol,
+        quantize_b_cols,
+    )
+
+    m = random_block_csr(128, 128, block=8, block_density=0.4,
+                         intra_density=0.7, seed=23)
+    bell = bell_from_csr(m, None, block_row_size=8)
+    B = np.random.default_rng(7).standard_normal((128, 32)).astype(np.float32)
+    qr = QBellRowColDevice.from_bell(bell, chunk=2)
+    Bq, bs = quantize_b_cols(jnp.asarray(B), 8)
+    got = np.asarray(bell_spmm_int8_rowcol(qr, Bq, bs, tn=32, chunk=2))
+
+    rp = np.asarray(qr.row_ptr)
+    cols = np.asarray(qr.cols_flat)
+    qv = np.asarray(qr.q_vals, dtype=np.int32)
+    rs = np.asarray(qr.row_scales)
+    Bqn = np.asarray(Bq, dtype=np.int32).reshape(-1, 8, 32)
+    bsn = np.asarray(bs)
+    nbr = qr.n_block_rows
+    ref = np.zeros((nbr, 8, 32), np.float32)
+    for i in range(nbr):
+        for t in range(rp[i], rp[i + 1]):
+            jb = cols[t]
+            d = (qv[t] @ Bqn[jb]).astype(np.float32)
+            ref[i] += d * bsn[jb][None, :]
+        ref[i] *= rs[i][:, None]
+    np.testing.assert_allclose(got, ref.reshape(-1, 32), rtol=1e-6, atol=1e-6)
