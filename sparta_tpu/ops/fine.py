@@ -53,7 +53,16 @@ from ..formats.csr import CSR
 GATHER_BPS = 223e9        # bf16 rows <= 1KB, S <= ~300k
 GATHER_BPS_LARGE = 90e9   # large-S degradation (S ~ 1M measured 65-96)
 COMBINE_BPS = 400e9       # mask-combine streaming estimate (calibrated)
-SEGSUM_BPS = 51e9
+# FELL-specific rates, calibrated to the 9-point hardware grid in
+# results/fell_probe.json (3 graphs x w in {4,8,16}, r4): the fused
+# gather-multiply-add loop runs slower than the pure-gather microbench
+# (120 vs 223 GB/s small-S), while the sorted segment-sum streams near
+# memory bandwidth (270 GB/s — the old 51e9 made the model prefer wide W,
+# mis-ranking every measured graph; w4 wins on all three).  Max model
+# error on the grid: 27% (within the ±30% band autotune covers).
+FELL_GATHER_BPS = 120e9
+SEGSUM_BPS = 270e9
+FELL_CLIFF_SLOTS = 300_000
 WIDTHS = (4, 8, 16, 32, 64)
 
 
@@ -675,7 +684,8 @@ def choose_width(row_nnz: np.ndarray, itemsize: int = 2) -> int:
     best, best_w = float("inf"), WIDTHS[0]
     for w in WIDTHS:
         n_virt, slots = fell_slots(row_nnz, w)
-        t = slots * itemsize / GATHER_BPS + n_virt * 8 / SEGSUM_BPS
+        g = FELL_GATHER_BPS if slots <= FELL_CLIFF_SLOTS else GATHER_BPS_LARGE
+        t = slots * itemsize / g + n_virt * 8 / SEGSUM_BPS
         if t < best:
             best, best_w = t, w
     return best_w
@@ -769,5 +779,6 @@ def fell_model_s(row_nnz: np.ndarray, w: int, n_cols: int,
                  itemsize: int = 2) -> float:
     """Modeled seconds per call (shared with csr_spmm_auto's selector)."""
     n_virt, slots = fell_slots(row_nnz, w)
-    return slots * n_cols * itemsize / GATHER_BPS \
+    g = FELL_GATHER_BPS if slots <= FELL_CLIFF_SLOTS else GATHER_BPS_LARGE
+    return slots * n_cols * itemsize / g \
         + n_virt * n_cols * 8 / SEGSUM_BPS
