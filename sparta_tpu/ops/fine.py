@@ -150,7 +150,11 @@ def _combine_kernel(tptr_ref, rows_hbm, *rest, R, C, nt, ns):
     base = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) + t * R
 
     def body(c, _):
-        off = start + c * C
+        # the layout guarantees 128-aligned region starts and C is a
+        # multiple of 128; Mosaic cannot prove it for an SMEM-derived
+        # offset, and an unannotated dynamic offset into a (sub)lane-tiled
+        # dim is a hard compile error on real TPUs (r4 fine_bench)
+        off = pl.multiple_of(start + c * C, 128)
         cps = [pltpu.make_async_copy(
             contrib_hbms[k].at[pl.ds(off, C)],
             cbuf.at[:, pl.ds(k * nt, nt)], sems.at[k]) for k in range(ns)]
@@ -385,7 +389,9 @@ def _dedup_kernel(tptr_ref, w_hbm, *rest, R, C, nt, ns, scaled):
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     def make_copies(c, slot):
-        off = start + c * C
+        # 128-aligned by the slot layout; annotated for Mosaic (see
+        # _combine_kernel)
+        off = pl.multiple_of(start + c * C, 128)
         wc = pltpu.make_async_copy(
             w_hbm.at[pl.ds(off, C)], wbufs.at[slot], sems.at[slot, 0])
         bcs = [pltpu.make_async_copy(
