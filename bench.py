@@ -221,35 +221,59 @@ def main():
     # (<= 1e-2 relative, SURVEY §7); reported as a SECOND headline ratio,
     # never replacing the bf16 one.
     int8_avg = int8_err = None
+    int8_name = None
     try:
-        from sparta_tpu.ops import bell_spmm_int8_rowcol, quantize_b_cols
+        from sparta_tpu.ops import (
+            bell_spmm_int8_global,
+            bell_spmm_int8_rowcol,
+            quantize_b_cols,
+            quantize_b_global_cols,
+        )
         from sparta_tpu.ops.quant import QBellRowColDevice
 
-        # per-global-row A scales + per-(stripe, column) B scales: same MXU
-        # schedule as the per-block/per-stripe kernel, ~1.5x lower quant
-        # error (the coarser scheme fails the 1e-2 gate marginally)
+        # per-global-row A scales, two B schemes sharing the same quantized
+        # A: (a) per-column global ("per-channel") — scale-free int32 inner
+        # loop, fastest; (b) per-(stripe, column) — one VPU scale pass per
+        # block, finest error.  Try (a) first; keep it only if it passes
+        # the 1e-2 matched-accuracy gate, else fall back to (b).
         qc = QBellRowColDevice.from_bell(bell, chunk=chunk)
-        Bq, bscale = quantize_b_cols(B, block)
-        Bqf = jnp.asarray(Bq)
         tq = 1024 if N % 1024 == 0 else tn
-
-        def int8_fn(b):
-            return bell_spmm_int8_rowcol(qc, b, bscale, tn=tq, chunk=chunk)
 
         # fp32 oracle on the same bell structure / row order
         devf = BellDevice.from_host(bell, dtype=jnp.float32)
         ref = np.asarray(bell_spmm_xla(devf, B.astype(jnp.float32)))
         del devf
-        got = np.asarray(int8_fn(Bqf), np.float32)
-        int8_err = float(np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9))
+        refmax = np.abs(ref).max() + 1e-9
 
-        avg, std, _ = time_op(int8_fn, Bqf, warmup=1, reps=reps,
-                              inner_iters=inner or None)
-        int8_avg = avg
-        gate = "PASS" if int8_err <= 1e-2 else "FAIL"
-        log(f"{'int8_unrolled':16s}: {avg*1e3:9.3f} ms  ({flops/avg/1e12:6.2f} "
-            f"TFLOP/s eff, std {std*1e3:.3f})  rel_err {int8_err:.2e} "
-            f"[accuracy gate {gate}]")
+        candidates = []
+        try:
+            Bqg, bsg = quantize_b_global_cols(B)
+
+            def int8_global_fn(b, _bs=bsg):
+                return bell_spmm_int8_global(qc, b, _bs, tn=tq, chunk=chunk)
+
+            candidates.append(("int8_global", int8_global_fn,
+                               jnp.asarray(Bqg)))
+        except ValueError as e:  # int32 overflow guard
+            log(f"int8_global     : skipped ({e})")
+        Bq, bscale = quantize_b_cols(B, block)
+
+        def int8_rowcol_fn(b, _bs=bscale):
+            return bell_spmm_int8_rowcol(qc, b, _bs, tn=tq, chunk=chunk)
+
+        candidates.append(("int8_rowcol", int8_rowcol_fn, jnp.asarray(Bq)))
+
+        for name, fn, Bqf in candidates:
+            err = float(
+                np.abs(np.asarray(fn(Bqf), np.float32) - ref).max() / refmax)
+            avg, std, _ = time_op(fn, Bqf, warmup=1, reps=reps,
+                                  inner_iters=inner or None)
+            gate = "PASS" if err <= 1e-2 else "FAIL"
+            log(f"{name:16s}: {avg*1e3:9.3f} ms  ({flops/avg/1e12:6.2f} "
+                f"TFLOP/s eff, std {std*1e3:.3f})  rel_err {err:.2e} "
+                f"[accuracy gate {gate}]")
+            if err <= 1e-2 and (int8_avg is None or avg < int8_avg):
+                int8_avg, int8_err, int8_name = avg, err, name
     except Exception as e:  # noqa: BLE001
         log(f"int8_unrolled   : FAILED {type(e).__name__}: {e}")
 
@@ -339,6 +363,7 @@ def main():
             # matched-accuracy second ratio (bf16 stays the headline)
             out["int8_blocked_ms"] = round(int8_avg * 1e3, 3)
             out["int8_rel_err"] = round(int8_err, 5)
+            out["int8_backend"] = int8_name
             out["int8_speedup_vs_best_unstructured"] = round(
                 unstructured[best_name] / int8_avg, 2)
     if not args.no_suite:

@@ -533,6 +533,191 @@ def bell_spmm_int8_rowcol(
       qbell.q_vals, Bq)
 
 
+# ------------------------------------------------- int8 global col scales --
+def quantize_b_global_cols(B: jax.Array):
+    """Standard per-channel quantization: one scale per output column,
+    amax over the WHOLE contraction dim -> (int8 [K, N], f32 [N]).
+
+    Coarser along K than :func:`quantize_b_cols` (one amax per column vs
+    per (stripe, column)), but it makes the B scale independent of the
+    contraction index, so the dequant factors entirely out of the inner
+    loop:  ``C = diag(row_scale) @ (Aq @ Bq) @ diag(col_scale)`` — a pure
+    int32 dot-accumulate with one rank-1 epilogue multiply."""
+    K, N = B.shape
+    Bf = B.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(Bf), axis=0)  # [N]
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(Bf / scale[None, :]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _kernel_q_global(
+    row_ptr_ref,    # int32 [nbr+1] (SMEM)
+    cols_ref,       # int32 [total] (SMEM)
+    bscale_ref,     # f32 [1, tn] (VMEM, blocked by column tile)
+    rowscale_ref,   # f32 [bh, 1] (VMEM, blocked by block-row)
+    vals_hbm,       # int8 [total, bh, bw] (HBM)
+    b_hbm,          # int8 [K, N] (HBM)
+    out_ref,        # f32 [bh, tn] (VMEM)
+    b_tile,         # int8 [K, tn] persistent VMEM scratch
+    vbuf,           # int8 [2, chunk, bh, bw] VMEM
+    acc_ref,        # int32 [bh, tn]
+    bsem,
+    vsems,
+    *,
+    bw: int,
+    tn: int,
+    chunk: int,
+):
+    """Int8 unrolled kernel with scale-free inner loop: int8 MXU dots
+    accumulate in int32 (no VPU scale pass per block); both scales apply
+    once, as a rank-1 multiply on the finished accumulator."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            b_hbm.at[:, pl.ds(j * tn, tn)], b_tile, bsem
+        )
+        cp.start()
+        cp.wait()
+
+    start = row_ptr_ref[i]
+    nchunks = (row_ptr_ref[i + 1] - start) // chunk
+
+    def vdma(c, slot):
+        return pltpu.make_async_copy(
+            vals_hbm.at[pl.ds(start + c * chunk, chunk)],
+            vbuf.at[slot],
+            vsems.at[slot],
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        vdma(0, 0).start()
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(c, _):
+        slot = jax.lax.rem(c, 2)
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            vdma(c + 1, jax.lax.rem(c + 1, 2)).start()
+
+        vdma(c, slot).wait()
+        for k in range(chunk):  # static unroll, guard-free (zero padding)
+            t = start + c * chunk + k
+            jb = cols_ref[t]
+            a = vbuf[slot, k]
+            b = b_tile[pl.ds(jb * bw, bw), :]
+            acc_ref[...] += jax.lax.dot(
+                a, b, preferred_element_type=jnp.int32
+            )
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+    out_ref[...] = (
+        acc_ref[...].astype(jnp.float32) * rowscale_ref[...] * bscale_ref[...]
+    )
+
+
+def bell_spmm_int8_global(
+    qbell: QBellRowColDevice,
+    Bq: jax.Array,        # int8 [K, N] from quantize_b_global_cols
+    bscale: jax.Array,    # f32 [N]
+    tn: int = 512,
+    chunk: int = 4,
+    interpret: bool = False,
+) -> jax.Array:
+    """Int8 MXU blocked SpMM, per-column B + per-global-row A scales.
+
+    The fastest quantized variant: the inner loop is nothing but int8 MXU
+    dots into an int32 accumulator (the rowcol kernel spends one [bh, tn]
+    VPU multiply per block on the stripe-dependent B scale; here the scale
+    is contraction-independent so it leaves the loop).  Checks the int32
+    accumulator cannot overflow for this structure (worst case
+    nb_max*bw*127*127 per element) and raises otherwise — use
+    :func:`bell_spmm_int8_rowcol` there."""
+    import numpy as np
+
+    nb_max = int(np.diff(np.asarray(qbell.row_ptr)).max()) if (
+        qbell.row_ptr.shape[0] > 1) else 0
+    bw = qbell.q_vals.shape[2]
+    if nb_max * bw * 127 * 127 >= 2**31:
+        raise ValueError(
+            f"int32 accumulator may overflow: {nb_max} blocks/row x bw={bw}"
+            " — use bell_spmm_int8_rowcol"
+        )
+    return _int8_global_call(qbell, Bq, bscale, tn=tn, chunk=chunk,
+                             interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("tn", "chunk", "interpret"))
+def _int8_global_call(qbell, Bq, bscale, tn, chunk, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from functools import partial as _partial
+
+    total, bh, bw = qbell.q_vals.shape
+    nbr = qbell.n_block_rows
+    K, N = Bq.shape
+    if N % tn:
+        raise ValueError(f"N={N} not a multiple of tile {tn}")
+    if qbell.chunk_multiple % chunk:
+        raise ValueError(
+            f"layout padded to multiples of {qbell.chunk_multiple}, kernel "
+            f"chunk={chunk}: rebuild from_bell with chunk={chunk}"
+        )
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    rowscale2d = qbell.row_scales.reshape(nbr * bh, 1)
+    bscale2d = bscale.reshape(1, N)
+    kernel = _partial(_kernel_q_global, bw=bw, tn=tn, chunk=chunk)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(N // tn, nbr),
+            in_specs=[
+                pl.BlockSpec((1, tn), lambda j, i, *_: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bh, 1), lambda j, i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (bh, tn), lambda j, i, *_: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((K, tn), jnp.int8),
+                pltpu.VMEM((2, chunk, bh, bw), jnp.int8),
+                pltpu.VMEM((bh, tn), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nbr * bh, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * total * bh * bw * N,
+            bytes_accessed=(
+                K * N + (N // tn) * total * bh * bw + nbr * bh * N * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qbell.row_ptr, qbell.cols_flat, bscale2d, rowscale2d,
+      qbell.q_vals, Bq)
+
+
 # --------------------------------------------------------------------- fp8 --
 FP8_MAX = 448.0  # float8_e4m3fn largest finite
 

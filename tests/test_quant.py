@@ -201,3 +201,69 @@ def test_int8_rowcol_matches_dequant_oracle():
             ref[i] += d * bsn[jb][None, :]
         ref[i] *= rs[i][:, None]
     np.testing.assert_allclose(got, ref.reshape(-1, 32), rtol=1e-6, atol=1e-6)
+
+
+def test_int8_global_matches_dequant_oracle_and_accuracy():
+    """Per-channel int8 kernel (scale-free int32 inner loop): bitwise-equal
+    to the exact dequantized math, and within the same accuracy class as
+    the rowcol scheme on block-sparse data (global per-column amax ~=
+    per-stripe per-column amax for non-adversarial B)."""
+    from sparta_tpu.ops.quant import (
+        QBellRowColDevice,
+        bell_spmm_int8_global,
+        quantize_b_global_cols,
+    )
+
+    m = random_block_csr(256, 256, block=16, block_density=0.25,
+                         intra_density=0.5, seed=31, shuffle_rows=False)
+    bell = bell_from_csr(m, None, block_row_size=16)
+    B = np.random.default_rng(9).standard_normal((256, 64)).astype(np.float32)
+    Bp = pad_b_for_bell(B, bell)
+    qr = QBellRowColDevice.from_bell(bell, chunk=2)
+    Bq, bs = quantize_b_global_cols(jnp.asarray(Bp))
+    assert bs.shape == (64,)
+    got = np.asarray(bell_spmm_int8_global(qr, Bq, bs, tn=64, chunk=2))
+
+    # exact dequant oracle (int32 dots are exact; scales applied once)
+    rp = np.asarray(qr.row_ptr)
+    cols = np.asarray(qr.cols_flat)
+    qv = np.asarray(qr.q_vals, dtype=np.int32)
+    rs = np.asarray(qr.row_scales)
+    bw = bell.block_col_size
+    Bqn = np.asarray(Bq, dtype=np.int64)
+    nbr = qr.n_block_rows
+    acc = np.zeros((nbr, 16, 64), np.int64)
+    for i in range(nbr):
+        for t in range(rp[i], rp[i + 1]):
+            jb = cols[t]
+            acc[i] += qv[t].astype(np.int64) @ Bqn[jb * bw:(jb + 1) * bw]
+    ref = acc.astype(np.float32) * rs[:, :, None] * np.asarray(bs)[None, None]
+    np.testing.assert_allclose(got, ref.reshape(-1, 64), rtol=1e-6, atol=1e-6)
+
+    # end-to-end accuracy vs the fp32 product stays in the gate's class
+    C_ref = np.asarray(m.to_scipy() @ B)
+    rel = np.abs(got[:256] - C_ref).max() / (np.abs(C_ref).max() + 1e-9)
+    assert rel < 2e-2, rel
+
+
+def test_int8_global_overflow_guard():
+    """A structure whose worst row could overflow int32 accumulation must
+    be rejected, not silently wrong."""
+    import pytest
+
+    from sparta_tpu.ops.quant import QBellRowColDevice, bell_spmm_int8_global
+
+    m = random_block_csr(128, 128, block=128, block_density=1.0,
+                         intra_density=1.0, seed=1)
+    bell = bell_from_csr(m, None, block_row_size=128)
+    qr = QBellRowColDevice.from_bell(bell, chunk=1)
+    # forge a row_ptr claiming 2^31-breaking blocks/row (constructing the
+    # real thing would need ~130k blocks); the guard reads only row_ptr
+    import jax.numpy as _jnp
+    qr = QBellRowColDevice(
+        row_ptr=_jnp.asarray([0, 2**31 // (128 * 127 * 127) + 1], np.int32),
+        cols_flat=qr.cols_flat, row_scales=qr.row_scales, q_vals=qr.q_vals,
+        chunk_multiple=1)
+    with pytest.raises(ValueError, match="overflow"):
+        bell_spmm_int8_global(qr, _jnp.zeros((128, 128), _jnp.int8),
+                              _jnp.ones((128,), _jnp.float32))
