@@ -264,10 +264,14 @@ def main():
         candidates.append(("int8_rowcol", int8_rowcol_fn, jnp.asarray(Bq)))
 
         for name, fn, Bqf in candidates:
-            err = float(
-                np.abs(np.asarray(fn(Bqf), np.float32) - ref).max() / refmax)
-            avg, std, _ = time_op(fn, Bqf, warmup=1, reps=reps,
-                                  inner_iters=inner or None)
+            try:
+                err = float(np.abs(np.asarray(fn(Bqf), np.float32)
+                                   - ref).max() / refmax)
+                avg, std, _ = time_op(fn, Bqf, warmup=1, reps=reps,
+                                      inner_iters=inner or None)
+            except Exception as e:  # noqa: BLE001 — next candidate still runs
+                log(f"{name:16s}: FAILED {type(e).__name__}: {e}")
+                continue
             gate = "PASS" if err <= 1e-2 else "FAIL"
             log(f"{name:16s}: {avg*1e3:9.3f} ms  ({flops/avg/1e12:6.2f} "
                 f"TFLOP/s eff, std {std*1e3:.3f})  rel_err {err:.2e} "
