@@ -30,26 +30,29 @@ sys.path.insert(0, str(ROOT))
 LOGDIR = ROOT / "results" / "hw_logs"
 STATUS = ROOT / "results" / "hw_queue_status.json"
 
-# (name, argv, timeout_s, retries) — priority order per VERDICT r4 item 1:
-# regression-gate the flagship first, then the fine family, knobs, models,
-# then the long real-world campaign.
+# (name, argv, timeout_s, retries) — r5 priority order per VERDICT r4
+# item 1: the SHORT, blocking-question jobs run FIRST (r4's failure was
+# sequencing — a 37-min job ate the window): headline gate, the 43%-MFU
+# knobs cells, the ring-kernel Mosaic compile gate, the gather-rate
+# calibration grid, then models/attention, then the long campaigns.
+# plan_audit runs AFTER gather_probe2 so a recalibrated fine.py (edited
+# between jobs; each job is a fresh subprocess) is what gets audited.
 JOBS = [
     ("bench_headline", [sys.executable, "bench.py"], 2400, 3),
-    ("fell_probe", [sys.executable, "scripts/fell_probe.py"], 3600, 2),
-    ("fine_bench", [sys.executable, "scripts/fine_bench.py"], 3600, 2),
     ("knobs_probe", [sys.executable, "scripts/knobs_probe.py"], 3600, 2),
+    ("ring_kernel_probe", [sys.executable, "scripts/ring_kernel_probe.py"],
+     2400, 2),
+    ("gather_probe2", [sys.executable, "scripts/gather_probe2.py"], 2400, 2),
     ("fine_probe2", [sys.executable, "scripts/fine_probe2.py"], 3600, 2),
     ("budget_probe", [sys.executable, "scripts/budget_probe.py"], 3600, 2),
     ("attention_bench", [sys.executable, "scripts/attention_bench.py"], 3600, 2),
     ("decode_bench", [sys.executable, "scripts/decode_bench.py"], 2400, 2),
     ("inference_bench", [sys.executable, "scripts/inference_bench.py"],
      2400, 2),
-    ("ring_kernel_probe", [sys.executable, "scripts/ring_kernel_probe.py"],
-     2400, 2),
+    ("plan_audit", [sys.executable, "scripts/plan_audit.py"], 7200, 2),
     ("realworld_fine",
      [sys.executable, "scripts/realworld_campaign.py", "--skip-parity",
       "--autotune"], 10800, 2),
-    ("plan_audit", [sys.executable, "scripts/plan_audit.py"], 7200, 2),
     ("campaign_suite", [sys.executable, "scripts/campaign.py"], 10800, 1),
     ("bench_headline_final", [sys.executable, "bench.py"], 2400, 2),
 ]

@@ -150,7 +150,7 @@ def csr_model_table(cmat: CSR, N: int, dtype=jnp.float32):
         t_dense = float("inf")  # densified A would not fit device memory
     t_natbell = 2 * nzb * 128 * 128 * Np / _NATBELL_TPS
     itemsize = jnp.dtype(dtype).itemsize
-    t_fine = fine_model_s(cmat.nnz, M, Np, itemsize=itemsize)
+    t_fine = fine_model_s(cmat.nnz, M, Np, itemsize=itemsize, k_rows=K)
     if cmat.nnz * Np * itemsize > DENSIFY_BYTES_CAP:
         # the mask-combine materializes [slots, N] contributions in HBM
         t_fine = float("inf")
@@ -162,11 +162,11 @@ def csr_model_table(cmat: CSR, N: int, dtype=jnp.float32):
     # best case loses to a cheap candidate, skip the sort entirely.
     n_uniq = None
     t_dedup_lb = dedup_model_s(max(cmat.nnz // 128, 1), M, Np,
-                               itemsize=itemsize)
+                               itemsize=itemsize, k_rows=K)
     if t_dedup_lb < min(t_dense, t_natbell, t_fine, t_fell):
         rows_r = np.repeat(np.arange(M, dtype=np.int64) >> 7, cmat.row_nnz)
         n_uniq = np.unique(rows_r * np.int64(K) + cmat.indices).size
-        t_dedup = dedup_model_s(n_uniq, M, Np, itemsize=itemsize)
+        t_dedup = dedup_model_s(n_uniq, M, Np, itemsize=itemsize, k_rows=K)
         # the dense-W operand is [slots, 128] — 128x the raw values; on
         # ~100M-nnz graphs it outgrows HBM while the fine path's [slots]
         # values do not.  Disqualify dedup past the device-memory cap.

@@ -49,10 +49,57 @@ from jax.experimental.pallas import tpu as pltpu
 from ..definitions import to_device
 from ..formats.csr import CSR
 
-# measured v5e rates (results/gather_probe.json, fine_probe.json)
-GATHER_BPS = 223e9        # bf16 rows <= 1KB, S <= ~300k
+# measured v5e rates.  The gather rate is NOT a single constant: r4's
+# fine_probe2 measured 59.8 GB/s at S=256k on a 128 MB table where the
+# r2 grid (64 MB table) measured 223 — the rate depends on TABLE size as
+# well as index count (VERDICT r4 missing #2).  gather_bps() below
+# interpolates a measured (table_MB, S) -> GB/s surface; GATHER_BPS /
+# GATHER_BPS_LARGE remain as the legacy anchors for callers without
+# table-size context.
+GATHER_BPS = 223e9        # bf16 rows <= 1KB, S <= ~300k, table <= 64 MB
 GATHER_BPS_LARGE = 90e9   # large-S degradation (S ~ 1M measured 65-96)
 COMBINE_BPS = 400e9       # mask-combine streaming estimate (calibrated)
+
+# (table_MB, n_idx, GB/s) calibration points for B[idx] at <=1 KB rows.
+# Measured on v5e hardware: r2 scripts/gather_probe.py (64 MB rows) and
+# r4 results/fine_probe2.json (128 MB rows); scripts/gather_probe2.py
+# re-measures the full K x S grid and replaces this table.
+GATHER_POINTS = (
+    (64, 65_536, 223.0),
+    (64, 262_144, 223.0),
+    (64, 1_048_576, 90.0),
+    (128, 262_144, 59.8),     # fine_probe2 "A gather S=256k ref"
+    (128, 1_048_576, 64.5),   # fine_probe2 "A gather S=1M whole"
+)
+
+
+def gather_bps(n_idx: int, table_bytes: int | None = None) -> float:
+    """Modeled B[idx] gather rate in BYTES/S of gathered output.
+
+    Interpolates the measured (table size, index count) surface in log2
+    space (inverse-squared-distance over the 4 nearest calibration
+    points — robust to a scattered grid and trivially re-seeded when
+    scripts/gather_probe2.py refreshes GATHER_POINTS).  ``table_bytes``
+    None keeps the legacy slot-count-only fork."""
+    import math
+
+    if table_bytes is None:
+        return GATHER_BPS if n_idx <= 300_000 else GATHER_BPS_LARGE
+    x = math.log2(max(table_bytes, 1 << 20) / float(1 << 20))
+    y = math.log2(max(n_idx, 1024) / 1024.0)
+    scored = []
+    for mb, s, g in GATHER_POINTS:
+        d2 = (x - math.log2(mb)) ** 2 + (y - math.log2(s / 1024.0)) ** 2
+        if d2 < 1e-12:
+            return g * 1e9
+        scored.append((d2, g))
+    scored.sort()
+    num = den = 0.0
+    for d2, g in scored[:4]:
+        w = 1.0 / d2
+        num += w * g
+        den += w
+    return num / den * 1e9
 # FELL-specific rates, calibrated to the 9-point hardware grid in
 # results/fell_probe.json (3 graphs x w in {4,8,16}, r4): the fused
 # gather-multiply-add loop runs slower than the pure-gather microbench
@@ -347,11 +394,16 @@ def fine_spmm(dev: FineDevice, B: jax.Array,
 
 
 def fine_model_s(nnz: int, n_rows: int, N: int, tile_rows: int = 256,
-                 chunk: int = 2048, itemsize: int = 2) -> float:
-    """Modeled seconds per call (used by csr_spmm_auto's selector)."""
+                 chunk: int = 2048, itemsize: int = 2,
+                 k_rows: int | None = None) -> float:
+    """Modeled seconds per call (used by csr_spmm_auto's selector).
+
+    ``k_rows`` (= A's column count = the gather table's row count) keys
+    the table-size-dependent gather rate; None assumes square."""
     ntiles = -(-n_rows // tile_rows)
     slots = nnz + ntiles * 64  # alignment padding, ~align/2 per tile
-    gbps = GATHER_BPS if slots <= 300_000 else GATHER_BPS_LARGE
+    # gathers run per 512-column slab: table is [k_rows, 512] x itemsize
+    gbps = gather_bps(slots, (k_rows or n_rows) * 512 * itemsize)
     gather = slots * N * itemsize / gbps
     combine = slots * N * itemsize / COMBINE_BPS \
         + ntiles * max(-(-(nnz // max(ntiles, 1)) // chunk), 1) * 3e-6
@@ -655,12 +707,14 @@ dedup_spmm_ad.defvjp(_dedup_ad_fwd, _dedup_ad_bwd)
 
 
 def dedup_model_s(n_uniq: int, n_rows: int, N: int, tile_rows: int = 128,
-                  chunk: int = 2048, itemsize: int = 2) -> float:
+                  chunk: int = 2048, itemsize: int = 2,
+                  k_rows: int | None = None) -> float:
     """Modeled seconds per call from the distinct-pair count (host-side:
-    ``np.unique((rows // R) * K + cols).size``)."""
+    ``np.unique((rows // R) * K + cols).size``).  ``k_rows`` keys the
+    table-size-dependent gather rate (see gather_bps)."""
     ntiles = -(-n_rows // tile_rows)
     slots = n_uniq + ntiles * 64
-    gbps = GATHER_BPS if slots <= 300_000 else GATHER_BPS_LARGE
+    gbps = gather_bps(slots, (k_rows or n_rows) * 512 * itemsize)
     gather = slots * N * itemsize / gbps
     # gathered rows round-trip HBM (gather write + kernel read) and the
     # kernel streams W alongside; dots hide under the double-buffered DMA

@@ -336,16 +336,21 @@ class QBellRowColDevice:
     row_scales: jax.Array  # f32 [nbr, bh] per-output-row dequant scale
     q_vals: jax.Array      # int8 [total, bh, bw]
     chunk_multiple: int = 1
+    # max (padded) blocks per row, cached host-side at build time so the
+    # int8_global overflow guard never syncs row_ptr off the device (a
+    # device->host readback costs ~100 ms over the tunnel per eager call);
+    # None = unknown (hand-built instance) -> guard falls back to a sync.
+    nb_max: int | None = None
 
     def tree_flatten(self):
         return (
             (self.row_ptr, self.cols_flat, self.row_scales, self.q_vals),
-            self.chunk_multiple,
+            (self.chunk_multiple, self.nb_max),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, chunk_multiple=aux)
+        return cls(*children, chunk_multiple=aux[0], nb_max=aux[1])
 
     @property
     def n_block_rows(self) -> int:
@@ -382,6 +387,7 @@ class QBellRowColDevice:
             row_scales=jnp.asarray(row_scales),
             q_vals=jnp.asarray(q),
             chunk_multiple=chunk,
+            nb_max=int(nb_pad.max()) if nb_pad.size else 0,
         )
 
 
@@ -645,8 +651,10 @@ def bell_spmm_int8_global(
     :func:`bell_spmm_int8_rowcol` there."""
     import numpy as np
 
-    nb_max = int(np.diff(np.asarray(qbell.row_ptr)).max()) if (
-        qbell.row_ptr.shape[0] > 1) else 0
+    nb_max = qbell.nb_max
+    if nb_max is None:  # hand-built instance: fall back to a device sync
+        nb_max = int(np.diff(np.asarray(qbell.row_ptr)).max()) if (
+            qbell.row_ptr.shape[0] > 1) else 0
     bw = qbell.q_vals.shape[2]
     if nb_max * bw * 127 * 127 >= 2**31:
         raise ValueError(

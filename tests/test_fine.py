@@ -93,6 +93,39 @@ def test_fine_model_monotonic():
     assert b > a > 0
 
 
+def test_gather_bps_surface():
+    """The calibrated (table size, index count) gather-rate surface
+    (VERDICT r4 missing #2: slot count alone mispredicts 3.7x on 128 MB
+    tables)."""
+    from sparta_tpu.ops.fine import GATHER_POINTS, gather_bps
+
+    # exact calibration points reproduce exactly
+    for mb, s, g in GATHER_POINTS:
+        assert abs(gather_bps(s, mb << 20) - g * 1e9) / (g * 1e9) < 1e-9
+    # interpolated values stay within the measured envelope
+    lo = min(g for *_h, g in GATHER_POINTS) * 1e9
+    hi = max(g for *_h, g in GATHER_POINTS) * 1e9
+    for tb, s in ((48 << 20, 100_000), (96 << 20, 500_000),
+                  (256 << 20, 2_000_000), (8 << 20, 4_096)):
+        assert lo <= gather_bps(s, tb) <= hi
+    # the r4 discovery: a 128 MB table at S=256k is far below the 64 MB
+    # small-S rate the old model assumed
+    assert gather_bps(262_144, 128 << 20) < 0.5 * gather_bps(
+        262_144, 64 << 20)
+    # None preserves the legacy slot-count-only fork
+    assert gather_bps(100_000) > gather_bps(1_000_000)
+    # a larger table never models FASTER at fixed S (within the grid span)
+    assert gather_bps(262_144, 64 << 20) >= gather_bps(262_144, 128 << 20)
+
+
+def test_fine_model_table_size_dependence():
+    """k_rows (the gather table's rows) must influence the modeled time:
+    the same nnz on a 128 MB-class table models slower than on 64 MB."""
+    small = fine_model_s(200_000, 65_536, 2048, k_rows=65_536)
+    large = fine_model_s(200_000, 65_536, 2048, k_rows=131_072)
+    assert large > small
+
+
 # ------------------------------------------------------------ DEDUP ----
 def test_dedup_spmm_matches_dense():
     """Distinct-column dedup path: duplicates within a tile share one
