@@ -136,13 +136,17 @@ def _ring_kernel(nb_ref, cols_ref, vals_ref, b_ref, out_ref,
 
 
 def spmm_ring_pallas(bell_dev: BellDevice, B: jax.Array, mesh: Mesh,
-                     axis: str = "x", interpret: bool | None = None
-                     ) -> jax.Array:
+                     axis: str = "x", interpret: bool | None = None,
+                     use_credits: bool | None = None) -> jax.Array:
     """Row-sharded A x column-sharded B through the fused ring kernel.
 
     Same contract as ``spmm_ring``: ``bell_dev`` row-sharded on ``axis``,
     ``B [K, N]`` sharded over N, returns C ``[M, N]`` row-sharded.  N must
     divide by the ring size; the local vals + 2 B slots must fit VMEM.
+
+    ``use_credits`` None keeps the default (credits everywhere except the
+    interpret simulator, which refuses remote semaphore signals — see
+    tests/test_ring_protocol.py where the override pins that status).
     """
     n = mesh.shape[axis]
     N = B.shape[1]
@@ -151,13 +155,15 @@ def spmm_ring_pallas(bell_dev: BellDevice, B: jax.Array, mesh: Mesh,
     n_chunk = N // n
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if use_credits is None:
+        use_credits = not interpret
 
     def local(ci, nb, v, b_local):
         nbr, max_nb, bh, bw = v.shape
         Kp = b_local.shape[0]
         kern = functools.partial(
             _ring_kernel, n=n, axis=axis, nbr=nbr, bh=bh, bw=bw,
-            n_chunk=n_chunk, use_credits=not interpret)
+            n_chunk=n_chunk, use_credits=use_credits)
         return pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((nbr * bh, N), jnp.float32),
@@ -275,7 +281,8 @@ def _rs_kernel(nb_ref, cols_ref, vals_ref, b_ref, out_ref,
 
 def spmm_reduce_scatter_pallas(cols_idx, nb_row, vals, B, mesh: Mesh,
                                axis: str = "x",
-                               interpret: bool | None = None) -> jax.Array:
+                               interpret: bool | None = None,
+                               use_credits: bool | None = None) -> jax.Array:
     """Column-split A x row-sharded B with a COMPUTE-FUSED ring
     reduce-scatter, all inside one Pallas kernel per device.
 
@@ -296,13 +303,15 @@ def spmm_reduce_scatter_pallas(cols_idx, nb_row, vals, B, mesh: Mesh,
     N = B.shape[-1]
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if use_credits is None:
+        use_credits = not interpret
 
     def local(ci, nb, v, b):
         ci, nb, v, b = ci[0], nb[0], v[0], b[0]
         _, _, bh, bw = v.shape
         kern = functools.partial(
             _rs_kernel, n=n, axis=axis, nbr_loc=nbr_loc, bh=bh, bw=bw,
-            use_credits=not interpret)
+            use_credits=use_credits)
         return pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((nbr_loc * bh, N), jnp.float32),
