@@ -145,6 +145,26 @@ def _mask_to_ell(mask: BlockMask):
     return wmax, bc_ell, live
 
 
+@functools.lru_cache(maxsize=64)
+def _mask_to_ell_t(mask: BlockMask):
+    """Transposed ELL: for every KEY tile, the query tiles that touch it
+    (padded to ``umax``).  The flash backward's dk/dv kernel sweeps this
+    so each key tile's gradient accumulates in VMEM across grid-minor
+    steps — the row ELL would need scatter-adds into HBM instead."""
+    counts = np.zeros(mask.nbc, dtype=np.int64)
+    for j in mask.bc:
+        counts[j] += 1
+    umax = max(int(counts.max()) if counts.size else 0, 1)
+    br_ell = np.zeros((mask.nbc, umax), dtype=np.int32)
+    live = np.zeros((mask.nbc, umax), dtype=bool)
+    fill = np.zeros(mask.nbc, dtype=np.int64)
+    for i, j in zip(mask.br, mask.bc):
+        br_ell[j, fill[j]] = i
+        live[j, fill[j]] = True
+        fill[j] += 1
+    return umax, br_ell, live
+
+
 @functools.partial(jax.jit, static_argnames=("nbr", "block", "causal"))
 def _bsa_core(q, k, v, bc_ell, live, nbr, block, causal, scale):
     """Single-head core: q [T_q, D], k/v [T_k, D] -> [T_q, D].
@@ -193,9 +213,9 @@ def block_sparse_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     mask's blocks — compute and memory scale with mask.n_blocks, not
     T_q*T_k.
 
-    impl: "pallas" = fused flash-style kernel (attention_pallas.py —
-    scores/probabilities never touch HBM; backward recomputes through
-    the XLA path); "xla" = batched-einsum path (the oracle);
+    impl: "pallas" = fused flash-style kernels (attention_pallas.py —
+    scores/probabilities never touch HBM in the forward OR the flash
+    backward); "xla" = batched-einsum path (the oracle);
     "auto" = pallas on an accelerator backend, xla on CPU (the interpret-
     mode kernel is orders of magnitude slower than real XLA on CPU)."""
     if q.shape[-2] != mask.nbr * mask.block:

@@ -14,10 +14,18 @@ BlockMask ELL machinery.  The reference has no attention story at all
 (SURVEY §0: SpMM only); this is the framework's extension of the same
 128-block sparsity to the attention pattern.
 
-Differentiable via jax.custom_vjp: forward runs this kernel; backward
-recomputes through the XLA path's autodiff (same math, bitwise-comparable
-tolerances) — training pays the XLA backward cost, serving gets the fused
-forward.
+Differentiable via jax.custom_vjp.  The backward is fused too (flash
+backward): the forward additionally emits the per-row logsumexp (stored
+128-lane-replicated, the canonical TPU trick — a (block, 1) column can't
+be cheaply transposed into a (1, block) lane row, so it's broadcast
+across lanes and sliced outside), and two Pallas kernels recompute the
+probability tiles on the fly: ``dq`` sweeps the row ELL exactly like the
+forward; ``dk``/``dv`` sweep a TRANSPOSED ELL (per key tile, the list of
+query tiles that touch it) so each key tile's gradient accumulates in
+VMEM over grid-minor steps instead of scatter-adding in HBM.  Scores,
+probabilities, and dS never touch HBM in either direction.  Set
+``bwd="xla"`` to differentiate through the batched-einsum path instead
+(the oracle the tests compare against).
 """
 from __future__ import annotations
 
@@ -29,7 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import BlockMask, _mask_to_ell
+from .attention import BlockMask, _mask_to_ell, _mask_to_ell_t
 
 _NEG_BIG = -1e30  # finite "-inf": keeps the running max finite on
 #                   fully-masked rows (exp(-inf - finite) == 0 cleanly)
@@ -76,41 +84,60 @@ def _flash_kernel(bc_ref, live_ref, q_ref, k_ref, v_ref, o_ref,
                     / jnp.maximum(l_s[:, :1], 1e-30)).astype(o_ref.dtype)
 
 
+def _flash_fwd_lse_kernel(bc_ref, live_ref, q_ref, k_ref, v_ref,
+                          o_ref, lse_ref, acc_s, m_s, l_s, **kw):
+    """Forward + logsumexp emit (used under custom_vjp so the backward
+    can rebuild P = exp(S - L) tile-by-tile without a second softmax
+    pass).  lse is broadcast across the 128 lanes (see module doc)."""
+    _flash_kernel(bc_ref, live_ref, q_ref, k_ref, v_ref, o_ref,
+                  acc_s, m_s, l_s, **kw)
+    w = pl.program_id(2)
+
+    @pl.when(w == kw["wmax"] - 1)
+    def _emit_lse():
+        lse = m_s[:, :1] + jnp.log(jnp.maximum(l_s[:, :1], 1e-30))
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
 @functools.partial(
     jax.jit, static_argnames=("nbr", "block", "causal", "scale", "wmax",
-                              "interpret"))
+                              "interpret", "with_lse"))
 def _bsa_pallas_hqd(q, k, v, bc_ell, live, *, nbr, block, causal, scale,
-                    wmax, interpret):
-    """q [H, T_q, D], k/v [H, T_k, D] -> [H, T_q, D]."""
+                    wmax, interpret, with_lse=False):
+    """q [H, T_q, D], k/v [H, T_k, D] -> [H, T_q, D]
+    (+ lse [H, T_q, 128] f32, lane-replicated, when ``with_lse``)."""
     H, Tq, D = q.shape
-    kernel = functools.partial(_flash_kernel, wmax=wmax, block=block,
+    kern = _flash_fwd_lse_kernel if with_lse else _flash_kernel
+    kernel = functools.partial(kern, wmax=wmax, block=block,
                                causal=causal, scale=scale)
+    qtile = pl.BlockSpec((1, block, D), lambda h, r, w, bc, lv: (h, r, 0),
+                         memory_space=pltpu.VMEM)
+    ktile = pl.BlockSpec((1, block, D),
+                         lambda h, r, w, bc, lv: (h, bc[r, w], 0),
+                         memory_space=pltpu.VMEM)
+    out_specs = pl.BlockSpec((1, block, D), lambda h, r, w, bc, lv: (h, r, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((H, Tq, D), q.dtype)
+    if with_lse:
+        out_specs = (out_specs, pl.BlockSpec(
+            (1, block, 128), lambda h, r, w, bc, lv: (h, r, 0),
+            memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((H, Tq, 128), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(H, nbr, wmax),
-            in_specs=[
-                pl.BlockSpec((1, block, D),
-                             lambda h, r, w, bc, lv: (h, r, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block, D),
-                             lambda h, r, w, bc, lv: (h, bc[r, w], 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block, D),
-                             lambda h, r, w, bc, lv: (h, bc[r, w], 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, block, D),
-                                   lambda h, r, w, bc, lv: (h, r, 0),
-                                   memory_space=pltpu.VMEM),
+            in_specs=[qtile, ktile, ktile],
+            out_specs=out_specs,
             scratch_shapes=[
                 pltpu.VMEM((block, D), jnp.float32),    # acc
                 pltpu.VMEM((block, 128), jnp.float32),  # running max
                 pltpu.VMEM((block, 128), jnp.float32),  # running denom
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((H, Tq, D), q.dtype),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
@@ -118,12 +145,10 @@ def _bsa_pallas_hqd(q, k, v, bc_ell, live, *, nbr, block, causal, scale,
     )(bc_ell, live, q, k, v)
 
 
-def _pallas_forward(q, k, v, mask: BlockMask, scale: float,
-                    interpret: bool = False):
+def _pad_flatten(q, k, v):
     """Leading dims flattened into the head grid axis; D padded to the
     128-lane grid (zero feature columns change neither scores nor the
     sliced-away output columns)."""
-    lead = q.shape[:-2]
     Tq, D = q.shape[-2:]
     Tk = k.shape[-2]
     qf = q.reshape(-1, Tq, D)
@@ -133,34 +158,237 @@ def _pallas_forward(q, k, v, mask: BlockMask, scale: float,
     if Dp != D:
         pad = ((0, 0), (0, 0), (0, Dp - D))
         qf, kf, vf = (jnp.pad(t, pad) for t in (qf, kf, vf))
+    return qf, kf, vf
+
+
+def _pallas_forward(q, k, v, mask: BlockMask, scale: float,
+                    interpret: bool = False, with_lse: bool = False):
+    lead = q.shape[:-2]
+    Tq, D = q.shape[-2:]
+    qf, kf, vf = _pad_flatten(q, k, v)
     wmax, bc_ell, live = _mask_to_ell(mask)
-    o = _bsa_pallas_hqd(
+    res = _bsa_pallas_hqd(
         qf, kf, vf, jnp.asarray(bc_ell), jnp.asarray(live, jnp.int32),
         nbr=mask.nbr, block=mask.block, causal=mask.causal, scale=scale,
-        wmax=wmax, interpret=interpret or jax.default_backend() == "cpu")
-    return o[..., :D].reshape(*lead, Tq, D)
+        wmax=wmax, interpret=interpret or jax.default_backend() == "cpu",
+        with_lse=with_lse)
+    o, lse = res if with_lse else (res, None)
+    o = o[..., :D].reshape(*lead, Tq, D)
+    return (o, lse) if with_lse else o
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def block_sparse_attention_pallas(q, k, v, mask: BlockMask, scale=None):
-    """Fused-forward block-sparse attention.  Same contract as
+def _flash_dq_kernel(bc_ref, live_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
+                     lse_ref, dq_ref, acc_s, delta_s,
+                     *, wmax, block, causal, scale):
+    """dQ over the row ELL — same sweep shape as the forward.  P and dS
+    are rebuilt per tile from the saved lse; delta = rowsum(dO*O) is
+    computed once per query tile at w == 0 (cheap VPU rowsum — saves
+    materializing a [H, T] side input)."""
+    r = pl.program_id(1)
+    w = pl.program_id(2)
+
+    @pl.when(w == 0)
+    def _init():
+        acc_s[...] = jnp.zeros_like(acc_s)
+        delta_s[:, :1] = jnp.sum(
+            do_ref[0].astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+            axis=1, keepdims=True)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
+    if causal:
+        qi = r * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        ki = bc_ref[r, w] * block + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        s = jnp.where(qi >= ki, s, neg)
+    s = jnp.where(live_ref[r, w] > 0, s, neg)
+    p = jnp.exp(s - lse_ref[0][:, :1])          # true softmax probs
+    dp = jax.lax.dot_general(                   # dO V^T
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_s[:, :1])
+    acc_s[...] += jax.lax.dot(ds.astype(k.dtype), k,
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(w == wmax - 1)
+    def _emit():
+        dq_ref[0] = (acc_s[...] * scale).astype(dq_ref.dtype)
+
+
+def _flash_dkdv_kernel(brt_ref, livet_ref, q_ref, k_ref, v_ref, do_ref,
+                       o_ref, lse_ref, dk_ref, dv_ref, dk_s, dv_s,
+                       *, umax, block, causal, scale):
+    """dK/dV over the TRANSPOSED ELL: grid (heads, key_tile, slot), each
+    key tile's gradients accumulate in VMEM while the slot axis walks the
+    query tiles that touch it.  q/dO/O/lse tiles arrive via the
+    scalar-prefetched brt index map; the contraction dimension numbers do
+    the P^T / dS^T products without materializing a transpose."""
+    c = pl.program_id(1)
+    u = pl.program_id(2)
+
+    @pl.when(u == 0)
+    def _init():
+        dk_s[...] = jnp.zeros_like(dk_s)
+        dv_s[...] = jnp.zeros_like(dv_s)
+
+    q = q_ref[0]       # query tile r = brt[c, u]
+    k = k_ref[0]
+    do = do_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
+    if causal:
+        qi = brt_ref[c, u] * block + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 0)
+        ki = c * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(qi >= ki, s, neg)
+    s = jnp.where(livet_ref[c, u] > 0, s, neg)
+    p = jnp.exp(s - lse_ref[0][:, :1])
+    # dV += P^T dO  (contract the query-row axis)
+    dv_s[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+                    axis=1, keepdims=True)
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dk_s[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(u == umax - 1)
+    def _emit():
+        dk_ref[0] = (dk_s[...] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_s[...].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nbr", "nbc", "block", "causal", "scale",
+                              "wmax", "umax", "interpret"))
+def _bsa_pallas_bwd_hqd(q, k, v, do, o, lse, bc_ell, live, brt_ell, livet,
+                        *, nbr, nbc, block, causal, scale, wmax, umax,
+                        interpret):
+    H, Tq, D = q.shape
+    Tk = k.shape[1]
+    qrow = pl.BlockSpec((1, block, D), lambda h, r, w, *pref: (h, r, 0),
+                        memory_space=pltpu.VMEM)
+    kcol = pl.BlockSpec((1, block, D),
+                        lambda h, r, w, bc, lv: (h, bc[r, w], 0),
+                        memory_space=pltpu.VMEM)
+    lrow = pl.BlockSpec((1, block, 128), lambda h, r, w, *pref: (h, r, 0),
+                        memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_flash_dq_kernel, wmax=wmax, block=block,
+                          causal=causal, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(H, nbr, wmax),
+            in_specs=[qrow, kcol, kcol, qrow, qrow, lrow],
+            out_specs=qrow,
+            scratch_shapes=[
+                pltpu.VMEM((block, D), jnp.float32),    # dq acc
+                pltpu.VMEM((block, 128), jnp.float32),  # delta
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((H, Tq, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(bc_ell, live, q, k, v, do, o, lse)
+
+    qrow_t = pl.BlockSpec((1, block, D),
+                          lambda h, c, u, brt, lv: (h, brt[c, u], 0),
+                          memory_space=pltpu.VMEM)
+    kcol_t = pl.BlockSpec((1, block, D), lambda h, c, u, *pref: (h, c, 0),
+                          memory_space=pltpu.VMEM)
+    lrow_t = pl.BlockSpec((1, block, 128),
+                          lambda h, c, u, brt, lv: (h, brt[c, u], 0),
+                          memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_dkdv_kernel, umax=umax, block=block,
+                          causal=causal, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(H, nbc, umax),
+            in_specs=[qrow_t, kcol_t, kcol_t, qrow_t, qrow_t, lrow_t],
+            out_specs=(kcol_t, kcol_t),
+            scratch_shapes=[
+                pltpu.VMEM((block, D), jnp.float32),    # dk acc
+                pltpu.VMEM((block, D), jnp.float32),    # dv acc
+            ],
+        ),
+        out_shape=(jax.ShapeDtypeStruct((H, Tk, D), k.dtype),
+                   jax.ShapeDtypeStruct((H, Tk, D), v.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(brt_ell, livet, q, k, v, do, o, lse)
+    return dq, dk, dv
+
+
+def _pallas_backward(q, k, v, do, o, lse, mask: BlockMask, scale: float,
+                     interpret: bool = False):
+    lead = q.shape[:-2]
+    Tq, D = q.shape[-2:]
+    Tk = k.shape[-2]
+    qf, kf, vf = _pad_flatten(q, k, v)
+    dof, of, _ = _pad_flatten(do, o, o)
+    wmax, bc_ell, live = _mask_to_ell(mask)
+    umax, brt_ell, livet = _mask_to_ell_t(mask)
+    dq, dk, dv = _bsa_pallas_bwd_hqd(
+        qf, kf, vf, dof, of, lse,
+        jnp.asarray(bc_ell), jnp.asarray(live, jnp.int32),
+        jnp.asarray(brt_ell), jnp.asarray(livet, jnp.int32),
+        nbr=mask.nbr, nbc=mask.nbc, block=mask.block, causal=mask.causal,
+        scale=scale, wmax=wmax, umax=umax,
+        interpret=interpret or jax.default_backend() == "cpu")
+    return (dq[..., :D].reshape(*lead, Tq, D),
+            dk[..., :D].reshape(*lead, Tk, D),
+            dv[..., :D].reshape(*lead, Tk, D))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def block_sparse_attention_pallas(q, k, v, mask: BlockMask, scale=None,
+                                  bwd: str = "auto"):
+    """Fused block-sparse attention.  Same contract as
     attention.block_sparse_attention: q [..., T_q, D], k/v [..., T_k, D].
-    Backward differentiates the mathematically-identical XLA path."""
+
+    ``bwd`` picks the gradient path: "pallas" = fused flash backward
+    (dq + dkdv kernels above), "xla" = differentiate the batched-einsum
+    path (materializes the [nb, wmax, bh, bw] probability blocks in HBM;
+    the oracle), "auto" = pallas on an accelerator backend, xla on CPU
+    (interpret-mode kernels are far slower than real XLA on CPU)."""
     if scale is None:
         scale = 1.0 / np.sqrt(q.shape[-1])
     return _pallas_forward(q, k, v, mask, scale)
 
 
-def _fwd(q, k, v, mask, scale):
-    return block_sparse_attention_pallas(q, k, v, mask, scale), (q, k, v)
-
-
-def _bwd(mask, scale, res, g):
-    from .attention import block_sparse_attention
-
-    q, k, v = res
+def _fwd(q, k, v, mask, scale, bwd):
     if scale is None:
         scale = 1.0 / np.sqrt(q.shape[-1])
+    o, lse = _pallas_forward(q, k, v, mask, scale, with_lse=True)
+    return o, (q, k, v, o, lse)
+
+
+def _bwd(mask, scale, bwd, res, g):
+    q, k, v, o, lse = res
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    if bwd == "auto":
+        bwd = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if bwd == "pallas":
+        return _pallas_backward(q, k, v, g, o, lse, mask, scale)
+    from .attention import block_sparse_attention
+
     _, vjp = jax.vjp(
         lambda a, b, c: block_sparse_attention(a, b, c, mask, scale=scale,
                                                impl="xla"), q, k, v)

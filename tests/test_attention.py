@@ -185,8 +185,8 @@ def test_bsa_pallas_rectangular():
 
 
 def test_bsa_pallas_grad_matches_xla():
-    """custom_vjp backward (recompute through the XLA path) must agree
-    with differentiating the XLA path directly."""
+    """Default custom_vjp backward (bwd='auto' -> the XLA recompute on
+    CPU) must agree with differentiating the XLA path directly."""
     T, D = 256, 64
     mask = build_block_mask(T, T, 128, window=1, causal=True)
     rng = np.random.default_rng(13)
@@ -204,6 +204,96 @@ def test_bsa_pallas_grad_matches_xla():
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def _flash_grads(q, k, v, mask, bwd):
+    def loss(q, k, v):
+        return jnp.sum(block_sparse_attention_pallas(
+            q, k, v, mask, None, bwd).astype(jnp.float32) ** 2)
+
+    return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+
+def _xla_grads(q, k, v, mask):
+    def loss(q, k, v):
+        return jnp.sum(block_sparse_attention(
+            q, k, v, mask, impl="xla").astype(jnp.float32) ** 2)
+
+    return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("global_blocks", [0, 1])
+def test_flash_backward_matches_xla(causal, global_blocks):
+    """The fused flash backward (bwd='pallas': dq over the row ELL,
+    dk/dv over the transposed ELL, P rebuilt from the saved lse) must
+    reproduce the XLA path's gradients."""
+    T, D = 512, 64
+    mask = build_block_mask(T, T, 128, window=2, causal=causal,
+                            global_blocks=global_blocks)
+    rng = np.random.default_rng(21)
+    q, k, v = (jnp.asarray(x) for x in _qkv(rng, (T, D)))
+    gp = _flash_grads(q, k, v, mask, "pallas")
+    gx = _xla_grads(q, k, v, mask)
+    for name, a, b in zip("qkv", gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"d{name}")
+
+
+def test_flash_backward_ragged_mask_and_lead_dims():
+    """Data-derived mask (uneven blocks per row AND per column — dead
+    slots on both the row ELL and the transposed ELL) with batch x head
+    leading dims."""
+    from sparta_tpu.formats.csr import rmat_csr
+    from sparta_tpu.ops.attention import block_mask_from_csr
+
+    m = rmat_csr(11, edge_factor=2, seed=7)         # 2048 nodes, power-law
+    mask = block_mask_from_csr(m, block=128)
+    # genuinely ragged on BOTH axes (several distinct per-row and
+    # per-column block counts -> dead slots in row and transposed ELLs)
+    assert len(set(np.bincount(mask.br).tolist())) > 2
+    assert len(set(np.bincount(mask.bc).tolist())) > 2
+    T, D = mask.nbr * 128, 64
+    rng = np.random.default_rng(22)
+    q, k, v = (jnp.asarray(x) for x in _qkv(rng, (2, T, D)))
+    gp = _flash_grads(q, k, v, mask, "pallas")
+    gx = _xla_grads(q, k, v, mask)
+    for name, a, b in zip("qkv", gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"d{name}")
+
+
+def test_flash_backward_rectangular():
+    """Cross-attention: T_q != T_k, so wmax/umax and the two ELLs differ."""
+    Tq, Tk, D = 256, 512, 64
+    mask = build_block_mask(Tq, Tk, 128, window=None)  # dense pattern
+    rng = np.random.default_rng(23)
+    q = jnp.asarray(rng.standard_normal((Tq, D)).astype(np.float32))
+    k, v = (jnp.asarray(rng.standard_normal((Tk, D)).astype(np.float32))
+            for _ in range(2))
+    gp = _flash_grads(q, k, v, mask, "pallas")
+    gx = _xla_grads(q, k, v, mask)
+    for name, a, b in zip("qkv", gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"d{name}")
+
+
+def test_flash_backward_bf16():
+    """bf16 inputs: fp32 softmax/accumulate inside, bf16 MXU operands —
+    same numerics class as the XLA path, loose elementwise tolerance."""
+    T, D = 512, 64
+    mask = build_block_mask(T, T, 128, window=3, causal=True)
+    rng = np.random.default_rng(24)
+    q, k, v = (jnp.asarray(x, jnp.bfloat16) for x in _qkv(rng, (T, D)))
+    gp = _flash_grads(q, k, v, mask, "pallas")
+    gx = _xla_grads(q, k, v, mask)
+    for name, a, b in zip("qkv", gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=0.1, atol=0.15, err_msg=f"d{name}")
 
 
 def test_bsa_impl_dispatch():
