@@ -235,7 +235,8 @@ def phase2_tpu(graphs: dict, out: Path, best_tau: dict, b_cols: int,
         tau = best_tau.get((name, bw), best_tau.get((name, 128), 0.1))
         canon = mat_dir / f"{name}.el"
         log(f"[tpu] {name}: block {bh}x{bw} tau*={tau} b_cols={b_cols}")
-        for bundle in ("CSR", "BELLPACK_no_block", "PALLAS_blocked"):
+        for bundle in ("CSR", "BELLPACK_no_block", "PALLAS_blocked",
+                       "PALLAS_int8"):
             flags = EXPERIMENT_BUNDLES[bundle]
             base = Config(
                 exp_name=f"rw_{bundle}", b_cols=b_cols, tau=tau,
