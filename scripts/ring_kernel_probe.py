@@ -75,6 +75,19 @@ def main():
     out["rel_err"] = float(err)
     assert err < 5e-2, f"fused ring WRONG on chip: {err}"
 
+    # the COLLECTIVE body (global barrier + collective_id + credit
+    # semaphore signal/wait, self-targeted and balanced at n=1): this is
+    # the code a pod slice runs — Mosaic must compile and execute it
+    # (r5: the unexercised version failed right here with
+    # "collective_id has to be unspecified or None...")
+    Cx = np.asarray(spmm_ring_pallas(dev, Bcol, mesh,
+                                     exercise_collective=True))
+    err_x = np.abs(Cx[: m.rows] - C_ref).max() / (np.abs(C_ref).max()
+                                                  + 1e-9)
+    log(f"n=1 ring COLLECTIVE-body correctness rel_err: {err_x:.2e}")
+    out["collective_rel_err"] = float(err_x)
+    assert err_x < 5e-2, f"collective ring body WRONG on chip: {err_x}"
+
     flops = 2 * bell.total_nzblocks * 128 * 128 * N
     avg, std, _ = time_op(lambda b: spmm_ring_pallas(dev, b, mesh), Bcol,
                           warmup=1, reps=3)
@@ -102,6 +115,13 @@ def main():
     log(f"n=1 fused reduce-scatter correctness rel_err: {err_rs:.2e}")
     out["rs_rel_err"] = float(err_rs)
     assert err_rs < 5e-2, f"fused reduce-scatter WRONG on chip: {err_rs}"
+    Crsx = np.asarray(spmm_reduce_scatter_pallas(
+        *rs_in, mesh, exercise_collective=True))
+    err_rsx = np.abs(Crsx[: m.rows] - C_ref).max() / (np.abs(C_ref).max()
+                                                      + 1e-9)
+    log(f"n=1 reduce-scatter COLLECTIVE-body rel_err: {err_rsx:.2e}")
+    out["rs_collective_rel_err"] = float(err_rsx)
+    assert err_rsx < 5e-2, f"collective rs body WRONG on chip: {err_rsx}"
     avg_rs, _, _ = time_op(
         lambda b: spmm_reduce_scatter_pallas(rs_in[0], rs_in[1], rs_in[2],
                                              b, mesh), rs_in[3],

@@ -53,42 +53,65 @@ from ..formats.csr import CSR
 # fine_probe2 measured 59.8 GB/s at S=256k on a 128 MB table where the
 # r2 grid (64 MB table) measured 223 — the rate depends on TABLE size as
 # well as index count (VERDICT r4 missing #2).  gather_bps() below
-# interpolates a measured (table_MB, S) -> GB/s surface; GATHER_BPS /
-# GATHER_BPS_LARGE remain as the legacy anchors for callers without
-# table-size context.
+# interpolates the full measured (rowbytes, table_MB, S) -> GB/s surface
+# from the r5 hardware grid (results/gather_probe2.json, in git);
+# GATHER_BPS / GATHER_BPS_LARGE remain as the legacy anchors for callers
+# without table-size context.
 GATHER_BPS = 223e9        # bf16 rows <= 1KB, S <= ~300k, table <= 64 MB
 GATHER_BPS_LARGE = 90e9   # large-S degradation (S ~ 1M measured 65-96)
 COMBINE_BPS = 400e9       # mask-combine streaming estimate (calibrated)
 
-# (table_MB, n_idx, GB/s) calibration points for B[idx] at <=1 KB rows.
-# Measured on v5e hardware: r2 scripts/gather_probe.py (64 MB rows) and
-# r4 results/fine_probe2.json (128 MB rows); scripts/gather_probe2.py
-# re-measures the full K x S grid and replaces this table.
+# (rowbytes, table_MB, n_idx, GB/s) calibration points for B[idx],
+# measured on v5e hardware (results/gather_probe2.json, r5 session; the
+# bf16x256 diagnostic cells land in the rowbytes=512 class).  The
+# dominant axis is TABLE BYTES: a sharp cliff between 64 and 128 MB
+# (~220 -> ~55 GB/s at S<=256k) regardless of row width, plus an S=1M
+# descriptor-rate regime (~60-65 GB/s at 1 KB rows) that is FASTER than
+# small-S on big tables.  Row width matters inside the slow regime
+# (512 B rows move ~2/3 the bytes/s of 1 KB rows at 128 MB), hence the
+# per-rowbytes classes.
 GATHER_POINTS = (
-    (64, 65_536, 223.0),
-    (64, 262_144, 223.0),
-    (64, 1_048_576, 90.0),
-    (128, 262_144, 59.8),     # fine_probe2 "A gather S=256k ref"
-    (128, 1_048_576, 64.5),   # fine_probe2 "A gather S=1M whole"
+    # bf16 512-col slabs (1 KB rows) — the production fine/dedup gather
+    (1024, 32, 65_536, 253.0), (1024, 32, 262_144, 226.0),
+    (1024, 32, 1_048_576, 65.5),
+    (1024, 64, 65_536, 207.1), (1024, 64, 262_144, 223.1),
+    (1024, 64, 1_048_576, 65.0),
+    (1024, 128, 65_536, 56.0), (1024, 128, 262_144, 59.8),
+    (1024, 128, 1_048_576, 64.1),
+    (1024, 256, 65_536, 41.7), (1024, 256, 262_144, 54.8),
+    (1024, 256, 1_048_576, 62.8),
+    (1024, 512, 65_536, 27.7), (1024, 512, 262_144, 47.0),
+    (1024, 512, 1_048_576, 59.8),
+    # int8 512-col slabs (512 B rows) — the dedup_int8 gather
+    (512, 32, 262_144, 122.1), (512, 32, 1_048_576, 124.9),
+    (512, 64, 262_144, 118.9), (512, 64, 1_048_576, 124.1),
+    (512, 128, 262_144, 36.7), (512, 128, 1_048_576, 40.2),
+    (512, 256, 262_144, 29.3), (512, 256, 1_048_576, 33.9),
 )
 
 
-def gather_bps(n_idx: int, table_bytes: int | None = None) -> float:
+def gather_bps(n_idx: int, table_bytes: int | None = None,
+               rowbytes: int = 1024) -> float:
     """Modeled B[idx] gather rate in BYTES/S of gathered output.
 
     Interpolates the measured (table size, index count) surface in log2
     space (inverse-squared-distance over the 4 nearest calibration
-    points — robust to a scattered grid and trivially re-seeded when
-    scripts/gather_probe2.py refreshes GATHER_POINTS).  ``table_bytes``
-    None keeps the legacy slot-count-only fork."""
+    points of the nearest ``rowbytes`` class — robust to a scattered
+    grid and trivially re-seeded when scripts/gather_probe2.py refreshes
+    GATHER_POINTS).  ``table_bytes`` None keeps the legacy
+    slot-count-only fork."""
     import math
 
     if table_bytes is None:
         return GATHER_BPS if n_idx <= 300_000 else GATHER_BPS_LARGE
+    cls = min((rb for rb, *_r in GATHER_POINTS),
+              key=lambda rb: abs(math.log2(rb) - math.log2(max(rowbytes, 1))))
     x = math.log2(max(table_bytes, 1 << 20) / float(1 << 20))
     y = math.log2(max(n_idx, 1024) / 1024.0)
     scored = []
-    for mb, s, g in GATHER_POINTS:
+    for rb, mb, s, g in GATHER_POINTS:
+        if rb != cls:
+            continue
         d2 = (x - math.log2(mb)) ** 2 + (y - math.log2(s / 1024.0)) ** 2
         if d2 < 1e-12:
             return g * 1e9
@@ -403,7 +426,8 @@ def fine_model_s(nnz: int, n_rows: int, N: int, tile_rows: int = 256,
     ntiles = -(-n_rows // tile_rows)
     slots = nnz + ntiles * 64  # alignment padding, ~align/2 per tile
     # gathers run per 512-column slab: table is [k_rows, 512] x itemsize
-    gbps = gather_bps(slots, (k_rows or n_rows) * 512 * itemsize)
+    gbps = gather_bps(slots, (k_rows or n_rows) * 512 * itemsize,
+                      rowbytes=512 * itemsize)
     gather = slots * N * itemsize / gbps
     combine = slots * N * itemsize / COMBINE_BPS \
         + ntiles * max(-(-(nnz // max(ntiles, 1)) // chunk), 1) * 3e-6
@@ -714,7 +738,8 @@ def dedup_model_s(n_uniq: int, n_rows: int, N: int, tile_rows: int = 128,
     table-size-dependent gather rate (see gather_bps)."""
     ntiles = -(-n_rows // tile_rows)
     slots = n_uniq + ntiles * 64
-    gbps = gather_bps(slots, (k_rows or n_rows) * 512 * itemsize)
+    gbps = gather_bps(slots, (k_rows or n_rows) * 512 * itemsize,
+                      rowbytes=512 * itemsize)
     gather = slots * N * itemsize / gbps
     # gathered rows round-trip HBM (gather write + kernel read) and the
     # kernel streams W alongside; dots hide under the double-buffered DMA

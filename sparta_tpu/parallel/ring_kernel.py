@@ -53,11 +53,18 @@ from ..ops.device import BellDevice
 def _ring_kernel(nb_ref, cols_ref, vals_ref, b_ref, out_ref,
                  bslots, acc, send_sem, recv_sem, out_sem, cap_sem,
                  *, n: int, axis: str, nbr: int, bh: int, bw: int,
-                 n_chunk: int, use_credits: bool):
+                 n_chunk: int, use_credits: bool, use_barrier: bool):
     # use_credits=False only in interpret mode: the simulator does not
     # implement remote semaphore_signal, and its deterministic serialized
     # schedule cannot race a sender past a lagging receiver; compiled
-    # kernels ALWAYS run the credit protocol.
+    # kernels ALWAYS run the credit protocol.  use_barrier mirrors the
+    # host-side collective_id setting: Mosaic requires kernels compiled
+    # with a collective_id to synchronize through the global barrier
+    # semaphore (r5 hardware gate, results/hw_logs/ring_kernel_probe.err:
+    # "collective_id has to be unspecified or None when not using a
+    # custom barrier"), and the neighbor barrier is the right startup
+    # sync for RDMA anyway — no remote write can land before its target
+    # kernel is resident.
     me = lax.axis_index(axis)
     left = lax.rem(me - 1 + n, n)
     right = lax.rem(me + 1, n)
@@ -65,10 +72,22 @@ def _ring_kernel(nb_ref, cols_ref, vals_ref, b_ref, out_ref,
     # local B shard into slot 0; the right neighbor's first send targets
     # slot 1 (never read before its recv), so grant one initial credit
     bslots[0] = b_ref[:].astype(bslots.dtype)
+    if use_barrier:
+        barrier = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(barrier, inc=1, device_id=left)
+        pltpu.semaphore_signal(barrier, inc=1, device_id=right)
+        pltpu.semaphore_wait(barrier, 2)
     if use_credits and n > 1:
         # n == 1 never sends: an unconsumed initial credit would leave the
         # semaphore non-zero at kernel exit
         pltpu.semaphore_signal(cap_sem, inc=1, device_id=right)
+    if use_barrier and n == 1:
+        # exercise_collective compile gate at n=1: run the credit
+        # signal/wait pair against self so the collective body (remote
+        # semaphore ops + barrier + collective_id) meets the REAL Mosaic
+        # compiler on one chip, with every semaphore drained at exit
+        pltpu.semaphore_signal(cap_sem, inc=1, device_id=right)
+        pltpu.semaphore_wait(cap_sem, 1)
 
     def step(s, _):
         cur = lax.rem(s, 2)
@@ -137,7 +156,8 @@ def _ring_kernel(nb_ref, cols_ref, vals_ref, b_ref, out_ref,
 
 def spmm_ring_pallas(bell_dev: BellDevice, B: jax.Array, mesh: Mesh,
                      axis: str = "x", interpret: bool | None = None,
-                     use_credits: bool | None = None) -> jax.Array:
+                     use_credits: bool | None = None,
+                     exercise_collective: bool = False) -> jax.Array:
     """Row-sharded A x column-sharded B through the fused ring kernel.
 
     Same contract as ``spmm_ring``: ``bell_dev`` row-sharded on ``axis``,
@@ -147,7 +167,10 @@ def spmm_ring_pallas(bell_dev: BellDevice, B: jax.Array, mesh: Mesh,
     ``use_credits`` None keeps the default (credits everywhere except the
     interpret simulator, which refuses remote semaphore signals — see
     tests/test_ring_protocol.py where the override pins that status).
-    """
+    ``exercise_collective`` forces the collective body (barrier +
+    collective_id + credit semaphore ops, self-targeted and balanced) at
+    n == 1 — the single-chip Mosaic compile gate
+    (scripts/ring_kernel_probe.py)."""
     n = mesh.shape[axis]
     N = B.shape[1]
     if N % n:
@@ -157,13 +180,18 @@ def spmm_ring_pallas(bell_dev: BellDevice, B: jax.Array, mesh: Mesh,
         interpret = jax.default_backend() == "cpu"
     if use_credits is None:
         use_credits = not interpret
+    # Mosaic pairs collective_id with mandatory custom-barrier use; both
+    # ride together: every compiled multi-device kernel, plus the n=1
+    # compile-gate when exercised.  Interpret mode can't remote-signal.
+    use_barrier = (n > 1 and not interpret) or exercise_collective
 
     def local(ci, nb, v, b_local):
         nbr, max_nb, bh, bw = v.shape
         Kp = b_local.shape[0]
         kern = functools.partial(
             _ring_kernel, n=n, axis=axis, nbr=nbr, bh=bh, bw=bw,
-            n_chunk=n_chunk, use_credits=use_credits)
+            n_chunk=n_chunk, use_credits=use_credits,
+            use_barrier=use_barrier)
         return pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((nbr * bh, N), jnp.float32),
@@ -184,7 +212,8 @@ def spmm_ring_pallas(bell_dev: BellDevice, B: jax.Array, mesh: Mesh,
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                collective_id=7, has_side_effects=True),
+                collective_id=7 if use_barrier else None,
+                has_side_effects=True),
         )(nb.astype(jnp.int32), ci.astype(jnp.int32), v, b_local)
 
     return jax.shard_map(
@@ -199,7 +228,7 @@ def spmm_ring_pallas(bell_dev: BellDevice, B: jax.Array, mesh: Mesh,
 def _rs_kernel(nb_ref, cols_ref, vals_ref, b_ref, out_ref,
                slots, pbuf, acc, send_sem, recv_sem, out_sem, cap_sem,
                *, n: int, axis: str, nbr_loc: int, bh: int, bw: int,
-               use_credits: bool):
+               use_credits: bool, use_barrier: bool):
     """Compute-fused ring reduce-scatter (see spmm_reduce_scatter_pallas).
 
     Per step s, this device's partial product for row stripe
@@ -212,10 +241,21 @@ def _rs_kernel(nb_ref, cols_ref, vals_ref, b_ref, out_ref,
     me = lax.axis_index(axis)
     left = lax.rem(me - 1 + n, n)
     right = lax.rem(me + 1, n)
+    if use_barrier:
+        # see _ring_kernel: collective_id mandates barrier use, and the
+        # startup sync is needed before any RDMA/credit signal anyway
+        barrier = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(barrier, inc=1, device_id=left)
+        pltpu.semaphore_signal(barrier, inc=1, device_id=right)
+        pltpu.semaphore_wait(barrier, 2)
     if use_credits and n > 1:
         # n == 1 never sends: an unconsumed initial credit would leave the
         # semaphore non-zero at kernel exit
         pltpu.semaphore_signal(cap_sem, inc=1, device_id=right)
+    if use_barrier and n == 1:
+        # exercise_collective compile gate (see _ring_kernel)
+        pltpu.semaphore_signal(cap_sem, inc=1, device_id=right)
+        pltpu.semaphore_wait(cap_sem, 1)
 
     def rdma(s):
         cur = lax.rem(s, 2)
@@ -282,7 +322,9 @@ def _rs_kernel(nb_ref, cols_ref, vals_ref, b_ref, out_ref,
 def spmm_reduce_scatter_pallas(cols_idx, nb_row, vals, B, mesh: Mesh,
                                axis: str = "x",
                                interpret: bool | None = None,
-                               use_credits: bool | None = None) -> jax.Array:
+                               use_credits: bool | None = None,
+                               exercise_collective: bool = False
+                               ) -> jax.Array:
     """Column-split A x row-sharded B with a COMPUTE-FUSED ring
     reduce-scatter, all inside one Pallas kernel per device.
 
@@ -305,13 +347,14 @@ def spmm_reduce_scatter_pallas(cols_idx, nb_row, vals, B, mesh: Mesh,
         interpret = jax.default_backend() == "cpu"
     if use_credits is None:
         use_credits = not interpret
+    use_barrier = (n > 1 and not interpret) or exercise_collective
 
     def local(ci, nb, v, b):
         ci, nb, v, b = ci[0], nb[0], v[0], b[0]
         _, _, bh, bw = v.shape
         kern = functools.partial(
             _rs_kernel, n=n, axis=axis, nbr_loc=nbr_loc, bh=bh, bw=bw,
-            use_credits=use_credits)
+            use_credits=use_credits, use_barrier=use_barrier)
         return pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((nbr_loc * bh, N), jnp.float32),
@@ -333,7 +376,8 @@ def spmm_reduce_scatter_pallas(cols_idx, nb_row, vals, B, mesh: Mesh,
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                collective_id=8, has_side_effects=True),
+                collective_id=8 if use_barrier else None,
+                has_side_effects=True),
         )(nb.astype(jnp.int32), ci.astype(jnp.int32), v, b)
 
     return jax.shard_map(

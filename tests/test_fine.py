@@ -94,27 +94,35 @@ def test_fine_model_monotonic():
 
 
 def test_gather_bps_surface():
-    """The calibrated (table size, index count) gather-rate surface
-    (VERDICT r4 missing #2: slot count alone mispredicts 3.7x on 128 MB
-    tables)."""
+    """The calibrated (rowbytes, table size, index count) gather-rate
+    surface (VERDICT r4 missing #2: slot count alone mispredicts 3.7x on
+    128 MB tables; recalibrated from the r5 hardware grid,
+    results/gather_probe2.json)."""
     from sparta_tpu.ops.fine import GATHER_POINTS, gather_bps
 
     # exact calibration points reproduce exactly
-    for mb, s, g in GATHER_POINTS:
-        assert abs(gather_bps(s, mb << 20) - g * 1e9) / (g * 1e9) < 1e-9
-    # interpolated values stay within the measured envelope
-    lo = min(g for *_h, g in GATHER_POINTS) * 1e9
-    hi = max(g for *_h, g in GATHER_POINTS) * 1e9
-    for tb, s in ((48 << 20, 100_000), (96 << 20, 500_000),
-                  (256 << 20, 2_000_000), (8 << 20, 4_096)):
-        assert lo <= gather_bps(s, tb) <= hi
-    # the r4 discovery: a 128 MB table at S=256k is far below the 64 MB
-    # small-S rate the old model assumed
+    for rb, mb, s, g in GATHER_POINTS:
+        got = gather_bps(s, mb << 20, rowbytes=rb)
+        assert abs(got - g * 1e9) / (g * 1e9) < 1e-9, (rb, mb, s)
+    # interpolated values stay within each class's measured envelope
+    for rb in (1024, 512):
+        cls = [g for r, *_m, g in GATHER_POINTS if r == rb]
+        lo, hi = min(cls) * 1e9, max(cls) * 1e9
+        for tb, s in ((48 << 20, 100_000), (96 << 20, 500_000),
+                      (1 << 30, 2_000_000), (8 << 20, 4_096)):
+            assert lo <= gather_bps(s, tb, rowbytes=rb) <= hi
+    # the headline discovery: the 64 -> 128 MB table cliff at S=256k
     assert gather_bps(262_144, 128 << 20) < 0.5 * gather_bps(
         262_144, 64 << 20)
+    # int8 (512 B rows) is NOT half the bf16 byte rate on small tables:
+    # the gather is row-count-bound there (~120 GB/s measured)
+    assert gather_bps(262_144, 32 << 20, rowbytes=512) > 100e9
+    # ...but in the big-table regime 512 B rows move fewer bytes/s
+    assert gather_bps(262_144, 128 << 20, rowbytes=512) < gather_bps(
+        262_144, 128 << 20, rowbytes=1024)
     # None preserves the legacy slot-count-only fork
     assert gather_bps(100_000) > gather_bps(1_000_000)
-    # a larger table never models FASTER at fixed S (within the grid span)
+    # a larger table never models FASTER at fixed small S
     assert gather_bps(262_144, 64 << 20) >= gather_bps(262_144, 128 << 20)
 
 
