@@ -132,6 +132,9 @@ def main():
             x, kk, vv, mask, impl="xla")), 3 * fl_sp)
         cell("grad_sparse_pallas", g(lambda x, kk, vv: block_sparse_attention(
             x, kk, vv, mask, impl="pallas")), 3 * fl_sp)
+        # the production training path: XLA forward + flash backward
+        cell("grad_sparse_hybrid", g(lambda x, kk, vv: block_sparse_attention(
+            x, kk, vv, mask, impl="hybrid")), 3 * fl_sp)
         if T <= 4096:
             cell("grad_dense", g(dense_attn), 3 * fl_d)
         best_sp = min((t for t in (t_sp, t_pl) if t), default=None)

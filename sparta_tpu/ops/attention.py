@@ -165,14 +165,18 @@ def _mask_to_ell_t(mask: BlockMask):
     return umax, br_ell, live
 
 
-@functools.partial(jax.jit, static_argnames=("nbr", "block", "causal"))
-def _bsa_core(q, k, v, bc_ell, live, nbr, block, causal, scale):
+@functools.partial(jax.jit,
+                   static_argnames=("nbr", "block", "causal", "with_lse"))
+def _bsa_core(q, k, v, bc_ell, live, nbr, block, causal, scale,
+              with_lse=False):
     """Single-head core: q [T_q, D], k/v [T_k, D] -> [T_q, D].
 
     ELL layout: bc_ell/live [nbr, wmax] give each query tile's key tiles
     (dead slots masked).  SDD scores, softmax and PV are all batched
     dense ops over [nbr, wmax, bh, bw] — MXU dots plus regular reduces,
-    no gather/scatter beyond the tile gathers."""
+    no gather/scatter beyond the tile gathers.  ``with_lse`` also
+    returns the per-row logsumexp [T_q] (consumed by the flash backward
+    in the hybrid path, attention_pallas.py)."""
     bh = bw = block
     D = q.shape[-1]
     qt = q.reshape(nbr, bh, D)
@@ -199,7 +203,11 @@ def _bsa_core(q, k, v, bc_ell, live, nbr, block, causal, scale):
     # PV: one batched matmul, reduced over the static wmax axis
     o = jnp.einsum("rwbc,rwcd->rbd", p.astype(v.dtype), vt,
                    preferred_element_type=jnp.float32)  # [nbr, bh, D]
-    return o.reshape(nbr * bh, D).astype(q.dtype)
+    out = o.reshape(nbr * bh, D).astype(q.dtype)
+    if with_lse:
+        lse = m + jnp.log(jnp.maximum(denom, 1e-30))     # [nbr, bh]
+        return out, lse.reshape(nbr * bh).astype(jnp.float32)
+    return out
 
 
 def block_sparse_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -213,18 +221,26 @@ def block_sparse_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     mask's blocks — compute and memory scale with mask.n_blocks, not
     T_q*T_k.
 
-    impl: "pallas" = fused flash-style kernels (attention_pallas.py —
-    scores/probabilities never touch HBM in the forward OR the flash
-    backward); "xla" = batched-einsum path (the oracle);
-    "auto" = pallas on an accelerator backend, xla on CPU (the interpret-
-    mode kernel is orders of magnitude slower than real XLA on CPU)."""
+    impl: "xla" = batched-einsum path (the measured-fastest FORWARD on
+    v5e at every benched T — results/attention_bench.json, r5);
+    "hybrid" = XLA forward + flash Pallas backward (the measured-best
+    TRAINING config: the flash backward beats the XLA backward ~2x at
+    T>=4k); "pallas" = fully fused flash kernels (forward loses to XLA
+    on hardware — kept as the long-context/streaming option and the
+    kernel oracle); "auto" = hybrid on an accelerator backend, xla on
+    CPU (interpret-mode kernels are orders of magnitude slower than
+    real XLA on CPU)."""
     if q.shape[-2] != mask.nbr * mask.block:
         raise ValueError(f"T_q={q.shape[-2]} != mask {mask.nbr}x{mask.block}")
     if k.shape[-2] != mask.nbc * mask.block:
         raise ValueError(f"T_k={k.shape[-2]} != mask {mask.nbc}x{mask.block}")
     scale = scale if scale is not None else 1.0 / np.sqrt(q.shape[-1])
     if impl == "auto":
-        impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+        impl = "xla" if jax.default_backend() == "cpu" else "hybrid"
+    if impl == "hybrid":
+        from .attention_pallas import block_sparse_attention_hybrid
+
+        return block_sparse_attention_hybrid(q, k, v, mask, scale)
     if impl == "pallas":
         from .attention_pallas import block_sparse_attention_pallas
 

@@ -396,3 +396,62 @@ def _bwd(mask, scale, bwd, res, g):
 
 
 block_sparse_attention_pallas.defvjp(_fwd, _bwd)
+
+
+def _xla_forward_lse(q, k, v, mask: BlockMask, scale: float):
+    """The batched-einsum forward, also returning per-row logsumexp
+    [..., T_q] — the residual the flash backward rebuilds P from."""
+    import jax.numpy as _jnp
+
+    from .attention import _bsa_core
+
+    _, bc_ell, live = _mask_to_ell(mask)
+    fn = functools.partial(_bsa_core, nbr=mask.nbr, block=mask.block,
+                           causal=mask.causal, scale=scale, with_lse=True)
+    for _ in range(q.ndim - 2):
+        fn = jax.vmap(fn, in_axes=(0, 0, 0, None, None))
+    return fn(q, k, v, _jnp.asarray(bc_ell), _jnp.asarray(live))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def block_sparse_attention_hybrid(q, k, v, mask: BlockMask, scale=None):
+    """XLA forward + flash Pallas backward — the measured-best TRAINING
+    configuration on v5e (results/attention_bench.json, r5: the batched-
+    einsum forward beats the fused kernel at every T in {2k,4k,8k} —
+    0.13 vs 0.72 ms at T=2k — while the flash backward beats the XLA
+    backward ~2x at T>=4k).  Serving (no grad) should call impl="xla"
+    directly; this exists so jax.grad gets the best of both."""
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    from .attention import block_sparse_attention
+
+    return block_sparse_attention(q, k, v, mask, scale=scale, impl="xla")
+
+
+def _hyb_fwd(q, k, v, mask, scale):
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    o, lse = _xla_forward_lse(q, k, v, mask, scale)
+    return o, (q, k, v, o, lse)
+
+
+def _hyb_bwd(mask, scale, res, g):
+    q, k, v, o, lse = res
+    if scale is None:
+        scale = 1.0 / np.sqrt(q.shape[-1])
+    if jax.default_backend() == "cpu":
+        # interpret-mode flash kernels are far slower than real XLA
+        from .attention import block_sparse_attention
+
+        _, vjp = jax.vjp(
+            lambda a, b, c: block_sparse_attention(
+                a, b, c, mask, scale=scale, impl="xla"), q, k, v)
+        return vjp(g)
+    Tq = q.shape[-2]
+    lse_r = jnp.broadcast_to(
+        lse.reshape(-1, Tq)[..., None].astype(jnp.float32),
+        (int(np.prod(q.shape[:-2])) if q.ndim > 2 else 1, Tq, 128))
+    return _pallas_backward(q, k, v, g, o, lse_r, mask, scale)
+
+
+block_sparse_attention_hybrid.defvjp(_hyb_fwd, _hyb_bwd)

@@ -305,8 +305,69 @@ def test_bsa_impl_dispatch():
     a = np.asarray(block_sparse_attention(q, k, v, mask, impl="auto"))
     x = np.asarray(block_sparse_attention(q, k, v, mask, impl="xla"))
     p = np.asarray(block_sparse_attention(q, k, v, mask, impl="pallas"))
+    h = np.asarray(block_sparse_attention(q, k, v, mask, impl="hybrid"))
     np.testing.assert_allclose(a, x, rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(p, x, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(h, x, rtol=1e-6, atol=1e-7)
+
+
+def test_hybrid_grad_dispatch_matches_xla():
+    """impl='hybrid' (the accelerator training default): forward equals
+    the XLA path, and grads equal differentiating it (on CPU the hybrid
+    backward falls through to the XLA vjp — dispatch correctness)."""
+    T, D = 512, 64
+    mask = build_block_mask(T, T, 128, window=2, causal=True)
+    rng = np.random.default_rng(31)
+    q, k, v = (jnp.asarray(x) for x in _qkv(rng, (T, D)))
+
+    def loss_h(q, k, v):
+        return jnp.sum(block_sparse_attention(
+            q, k, v, mask, impl="hybrid") ** 2)
+
+    gh = jax.grad(loss_h, argnums=(0, 1, 2))(q, k, v)
+    gx = _xla_grads(q, k, v, mask)
+    for name, a, b in zip("qkv", gh, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"d{name}")
+
+
+def test_hybrid_accelerator_branch_semantics():
+    """The accelerator branch of the hybrid backward — XLA-computed lse
+    feeding the flash kernels — exercised explicitly under interpret
+    (the CPU dispatch would otherwise skip it)."""
+    from sparta_tpu.ops.attention_pallas import (
+        _pallas_backward,
+        _xla_forward_lse,
+    )
+
+    T, D = 512, 64
+    mask = build_block_mask(T, T, 128, window=2, causal=True)
+    rng = np.random.default_rng(32)
+    q, k, v = (jnp.asarray(x) for x in _qkv(rng, (2, T, D)))
+    scale = 1.0 / np.sqrt(D)
+    o, lse = _xla_forward_lse(q, k, v, mask, scale)
+    # the XLA lse must equal the kernel's definition: logsumexp of the
+    # masked scaled scores per query row
+    from sparta_tpu.ops.attention import dense_mask_from_block_mask
+
+    s = np.einsum("htd,hsd->hts", np.asarray(q), np.asarray(k)) * scale
+    s = np.where(dense_mask_from_block_mask(mask)[None], s, -np.inf)
+    ref_lse = np.log(np.exp(
+        s - s.max(-1, keepdims=True)).sum(-1)) + s.max(-1)
+    np.testing.assert_allclose(np.asarray(lse), ref_lse, rtol=1e-5,
+                               atol=1e-5)
+    g = jnp.asarray(rng.standard_normal(o.shape).astype(np.float32))
+    lse_r = jnp.broadcast_to(
+        lse.reshape(-1, T)[..., None].astype(jnp.float32), (2, T, 128))
+    dq, dk, dv = _pallas_backward(q, k, v, g, o, lse_r, mask, scale,
+                                  interpret=True)
+    _, vjp = jax.vjp(
+        lambda a, b, c: block_sparse_attention(a, b, c, mask, scale=scale,
+                                               impl="xla"), q, k, v)
+    xq, xk, xv = vjp(g)
+    for name, a, b in zip("qkv", (dq, dk, dv), (xq, xk, xv)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"d{name}")
 
 
 def test_block_mask_from_csr_graph_pattern():
