@@ -163,21 +163,32 @@ def csr_model_table(cmat: CSR, N: int, dtype=jnp.float32):
     n_uniq = None
     t_dedup_lb = dedup_model_s(max(cmat.nnz // 128, 1), M, Np,
                                itemsize=itemsize, k_rows=K)
+    n_uniq256 = None
     if t_dedup_lb < min(t_dense, t_natbell, t_fine, t_fell):
-        rows_r = np.repeat(np.arange(M, dtype=np.int64) >> 7, cmat.row_nnz)
-        n_uniq = np.unique(rows_r * np.int64(K) + cmat.indices).size
+        rows_f = np.repeat(np.arange(M, dtype=np.int64), cmat.row_nnz)
+        keys = (rows_f >> 7) * np.int64(K) + cmat.indices
+        n_uniq = np.unique(keys).size
         t_dedup = dedup_model_s(n_uniq, M, Np, itemsize=itemsize, k_rows=K)
         # the dense-W operand is [slots, 128] — 128x the raw values; on
         # ~100M-nnz graphs it outgrows HBM while the fine path's [slots]
         # values do not.  Disqualify dedup past the device-memory cap.
         if n_uniq * 128 * itemsize > DENSIFY_BYTES_CAP:
             t_dedup = float("inf")
+        # 256-row tiles: fewer tiles -> more column sharing -> fewer
+        # slots, at 2x the streamed W bytes per slot.  Measured winning
+        # on rmat15 (results/fine_probe2.json r5: 7.11 vs 8.27 ms bf16).
+        keys256 = (rows_f >> 8) * np.int64(K) + cmat.indices
+        n_uniq256 = np.unique(keys256).size
+        t_dedup256 = dedup_model_s(n_uniq256, M, Np, tile_rows=256,
+                                   itemsize=itemsize, k_rows=K)
+        if n_uniq256 * 256 * itemsize > DENSIFY_BYTES_CAP:
+            t_dedup256 = float("inf")
     else:
-        t_dedup = float("inf")
+        t_dedup = t_dedup256 = float("inf")
     table = {"dense": t_dense, "natbell128": t_natbell, "fine": t_fine,
-             "dedup": t_dedup, "fell": t_fell}
+             "dedup": t_dedup, "dedup256": t_dedup256, "fell": t_fell}
     return table, {"fell_w": fell_w, "natural_nzblocks": nzb,
-                   "dedup_n_uniq": n_uniq}
+                   "dedup_n_uniq": n_uniq, "dedup256_n_uniq": n_uniq256}
 
 
 def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
@@ -221,22 +232,26 @@ def csr_spmm_auto(cmat: CSR, N: int, dtype=jnp.float32,
     table, aux = csr_model_table(cmat, N, dtype)
     t_dense, t_natbell = table["dense"], table["natbell128"]
     t_fine, t_dedup, t_fell = table["fine"], table["dedup"], table["fell"]
+    t_dedup256 = table["dedup256"]
     fell_w = aux["fell_w"]
 
     # explicit argmin over candidate NAMES (float-equality membership tests
     # mis-resolve exact ties, e.g. dense == fine or inf == inf)
     best_name = min(table, key=table.get)
-    if best_name in ("fine", "dedup", "fell"):
+    if best_name in ("fine", "dedup", "dedup256", "fell"):
         def build(tag):
             if tag == "dedup":
                 return DedupDevice.from_csr(cmat, dtype=dtype), dedup_spmm
+            if tag == "dedup256":
+                return (DedupDevice.from_csr(cmat, dtype=dtype,
+                                             tile_rows=256), dedup_spmm)
             if tag == "fell":
                 return (FellDevice.from_csr(cmat, width=fell_w, dtype=dtype),
                         fell_spmm)
             return FineDevice.from_csr(cmat, dtype=dtype), fine_spmm  # mask
 
         fam = sorted([(t_fine, "mask"), (t_dedup, "dedup"),
-                      (t_fell, "fell")])
+                      (t_dedup256, "dedup256"), (t_fell, "fell")])
         sub = fam[0][1]
         dev = run = None
         # measured pick among close fine-family candidates (same ±30%
@@ -343,6 +358,9 @@ def csr_candidate_fn(cmat: CSR, N: int, name: str, dtype=jnp.float32):
         dev, run = FineDevice.from_csr(cmat, dtype=dtype), fine_spmm
     elif name == "dedup":
         dev, run = DedupDevice.from_csr(cmat, dtype=dtype), dedup_spmm
+    elif name == "dedup256":
+        dev = DedupDevice.from_csr(cmat, dtype=dtype, tile_rows=256)
+        run = dedup_spmm
     elif name == "fell":
         w = choose_width(cmat.row_nnz, jnp.dtype(dtype).itemsize)
         dev, run = FellDevice.from_csr(cmat, width=w, dtype=dtype), fell_spmm

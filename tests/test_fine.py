@@ -148,6 +148,26 @@ def test_dedup_spmm_matches_dense():
     np.testing.assert_allclose(C, _dense_oracle(m, B), rtol=1e-3, atol=1e-3)
 
 
+def test_dedup256_candidate_and_pricing():
+    """The 256-row-tile dedup variant (measured beating R=128 on rmat15,
+    results/fine_probe2.json r5): priced in csr_model_table with its own
+    distinct-pair count, buildable via csr_candidate_fn, and correct."""
+    from sparta_tpu.ops.csr_spmm import csr_candidate_fn, csr_model_table
+
+    m = rmat_csr(11, edge_factor=8, seed=5)
+    table, aux = csr_model_table(m, 512, dtype=jnp.float32)
+    assert "dedup256" in table
+    if aux["dedup256_n_uniq"] is not None:
+        # bigger tiles can only merge MORE (tile, col) pairs
+        assert aux["dedup256_n_uniq"] <= aux["dedup_n_uniq"]
+        assert np.isfinite(table["dedup256"])
+    B = np.random.default_rng(4).standard_normal((m.cols, 512)).astype(
+        np.float32)
+    fn = csr_candidate_fn(m, 512, "dedup256", dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(fn(jnp.asarray(B))),
+                               _dense_oracle(m, B), rtol=1e-3, atol=1e-3)
+
+
 def test_dedup_spmm_tail_chunk_overrun():
     """Tile regions are 128-aligned but chunks read C slots: the in-kernel
     tail mask must zero the overrun into the NEXT tile's live slots."""
