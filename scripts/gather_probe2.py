@@ -127,6 +127,18 @@ def main():
                  lambda b, i=idx: b[i], B, S * 512)
         del B
 
+    # --- narrow-slab mitigation cells (r5: _pick_slab now narrows the
+    # slab so the table stays <= 64 MB — these are the cells that
+    # validate it): bf16 256-col at 64/32 MB and bf16 128-col at 64 MB
+    for K, cols in (((1 << 17), 256), ((1 << 16), 256), ((1 << 18), 128)):
+        B = jnp.asarray(rng.standard_normal((K, cols)), jnp.bfloat16)
+        mb = B.nbytes >> 20
+        for S in ((1 << 18,) if args.quick else (1 << 18, 1 << 20)):
+            idx = jnp.asarray(rng.integers(0, K, S), jnp.int32)
+            cell(f"bf16x{cols} K={K>>10}k({mb}MB) S={S>>10}k",
+                 lambda b, i=idx: b[i], B, S * cols * 2)
+        del B
+
     print(json.dumps(out))
 
 

@@ -165,13 +165,30 @@ def tile_aligned_layout(row_ptr: np.ndarray, tile_rows: int,
     return astart.astype(np.int32), new_pos, total
 
 
-def _pick_slab(N: int) -> int:
-    """Largest slab width <= 512 dividing N (the measured gather sweet spot
-    is 1 KB rows = 512 bf16 lanes)."""
-    for nt in (512, 256, 128):
-        if N % nt == 0:
-            return nt
-    raise ValueError(f"N={N} must be a multiple of 128")
+# The r5 gather grid's dominant axis is TABLE bytes: <= 64 MB tables
+# gather at the fast row rate (~230 Mrows/s) at any row width, >= 128 MB
+# tables crawl (~58-72 Mrows/s).  Row width only scales bytes/row, so a
+# narrower slab that pulls the table under the cliff gathers the SAME
+# total bytes ~2x faster (the measured 512 B-row 64 MB cells run 119-125
+# GB/s where the 1 KB-row 128 MB cells run 56-64).
+SMALL_TABLE_BYTES = 64 << 20
+
+
+def _pick_slab(N: int, table_rows: int | None = None,
+               itemsize: int = 2) -> int:
+    """Largest slab width <= 512 dividing N (1 KB rows = 512 bf16 lanes,
+    the measured per-row sweet spot) — NARROWED to the widest slab whose
+    [table_rows, nt] gather table stays under the 64 MB rate cliff when
+    ``table_rows`` is given.  If no width fits (huge K), the widest slab
+    wins anyway (fewest gathers at the same slow per-row rate)."""
+    opts = [nt for nt in (512, 256, 128) if N % nt == 0]
+    if not opts:
+        raise ValueError(f"N={N} must be a multiple of 128")
+    if table_rows:
+        for nt in opts:
+            if table_rows * nt * itemsize <= SMALL_TABLE_BYTES:
+                return nt
+    return opts[0]
 
 
 # Large-S gather mitigation: when a gather's index count exceeds the
@@ -380,7 +397,8 @@ class FineDevice:
 def _fine_spmm(dev: FineDevice, B: jax.Array,
                b_int8: bool = False,
                gchunk: int | None = None) -> jax.Array:
-    nt = _pick_slab(B.shape[1])
+    nt = _pick_slab(B.shape[1], table_rows=B.shape[0],
+                    itemsize=1 if b_int8 else B.dtype.itemsize)
     Mpad = dev.padded_rows
     contribs = []
     for s in range(B.shape[1] // nt):
@@ -425,9 +443,12 @@ def fine_model_s(nnz: int, n_rows: int, N: int, tile_rows: int = 256,
     the table-size-dependent gather rate; None assumes square."""
     ntiles = -(-n_rows // tile_rows)
     slots = nnz + ntiles * 64  # alignment padding, ~align/2 per tile
-    # gathers run per 512-column slab: table is [k_rows, 512] x itemsize
-    gbps = gather_bps(slots, (k_rows or n_rows) * 512 * itemsize,
-                      rowbytes=512 * itemsize)
+    # gathers run per nt-column slab; _pick_slab narrows nt to keep the
+    # [k_rows, nt] table under the 64 MB rate cliff (same total bytes)
+    nt = _pick_slab(-(-N // 128) * 128, table_rows=k_rows or n_rows,
+                    itemsize=itemsize)
+    gbps = gather_bps(slots, (k_rows or n_rows) * nt * itemsize,
+                      rowbytes=nt * itemsize)
     gather = slots * N * itemsize / gbps
     combine = slots * N * itemsize / COMBINE_BPS \
         + ntiles * max(-(-(nnz // max(ntiles, 1)) // chunk), 1) * 3e-6
@@ -656,7 +677,8 @@ class DedupDevice:
 def _dedup_spmm(dev: DedupDevice, B: jax.Array,
                 b_int8: bool = False,
                 gchunk: int | None = None) -> jax.Array:
-    nt = _pick_slab(B.shape[1])
+    nt = _pick_slab(B.shape[1], table_rows=B.shape[0],
+                    itemsize=1 if b_int8 else B.dtype.itemsize)
     Mpad = dev.padded_rows
     bgs, scales = [], []
     for s in range(B.shape[1] // nt):
@@ -738,8 +760,10 @@ def dedup_model_s(n_uniq: int, n_rows: int, N: int, tile_rows: int = 128,
     table-size-dependent gather rate (see gather_bps)."""
     ntiles = -(-n_rows // tile_rows)
     slots = n_uniq + ntiles * 64
-    gbps = gather_bps(slots, (k_rows or n_rows) * 512 * itemsize,
-                      rowbytes=512 * itemsize)
+    nt = _pick_slab(-(-N // 128) * 128, table_rows=k_rows or n_rows,
+                    itemsize=itemsize)
+    gbps = gather_bps(slots, (k_rows or n_rows) * nt * itemsize,
+                      rowbytes=nt * itemsize)
     gather = slots * N * itemsize / gbps
     # gathered rows round-trip HBM (gather write + kernel read) and the
     # kernel streams W alongside; dots hide under the double-buffered DMA
