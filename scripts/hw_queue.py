@@ -50,6 +50,7 @@ JOBS = [
     ("inference_bench", [sys.executable, "scripts/inference_bench.py"],
      2400, 2),
     ("plan_audit", [sys.executable, "scripts/plan_audit.py"], 7200, 2),
+    ("fine_bench", [sys.executable, "scripts/fine_bench.py"], 3600, 2),
     ("realworld_fine",
      [sys.executable, "scripts/realworld_campaign.py", "--skip-parity",
       "--autotune"], 10800, 2),
