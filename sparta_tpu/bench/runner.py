@@ -115,7 +115,7 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
         if impl == "bcoo":
             A = csr_to_bcoo(m, dtype=dtype)
             return (lambda B: bcoo_spmm(A, B)), (m.cols, N), "csr_bcoo", 2 * m.nnz * N
-        if impl in ("fine", "dedup", "fell"):
+        if impl in ("fine", "dedup", "dedup256", "fell"):
             from ..ops import fine as _fine
 
             Np = round_up(N, 128)
@@ -125,8 +125,10 @@ def make_backend(cfg, m: CSR, engine: BlockingEngine):
             if impl == "fell":
                 fdev = _fine.FellDevice.from_csr(m, dtype=dtype)
                 run = _fine.fell_spmm
-            elif impl == "dedup":
-                fdev = _fine.DedupDevice.from_csr(m, dtype=dtype)
+            elif impl in ("dedup", "dedup256"):
+                fdev = _fine.DedupDevice.from_csr(
+                    m, dtype=dtype,
+                    tile_rows=256 if impl == "dedup256" else 128)
                 run = functools.partial(_fine.dedup_spmm, b_int8=q)
             else:
                 fdev = _fine.FineDevice.from_csr(m, dtype=dtype)

@@ -44,7 +44,7 @@ class Config:
     tile_n: int = 0                 # --tile-n (0 = auto)
     inner_iters: int = 0            # --inner-iters (0 = auto-calibrated depth)
     backend: str = "auto"           # --backend {auto,native,numpy} for blocking
-    csr_impl: str = "auto"          # --csr-impl {auto,fine,dedup,fell,bcoo} for -M 2
+    csr_impl: str = "auto"          # --csr-impl {auto,fine,dedup,dedup256,fell,bcoo} for -M 2
     autotune: bool = False          # --autotune: measure kernel candidates
     save_grouping: bool = True
 
@@ -87,7 +87,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", type=str, default=d.backend,
                    choices=["auto", "native", "numpy"])
     p.add_argument("--csr-impl", type=str, default=d.csr_impl,
-                   dest="csr_impl", choices=["auto", "fine", "dedup", "fell", "bcoo"],
+                   dest="csr_impl",
+                   choices=["auto", "fine", "dedup", "dedup256", "fell",
+                            "bcoo"],
                    help="-M 2 path: auto (best unstructured execution) or "
                    "bcoo (scatter library baseline)")
     p.add_argument("--autotune", type=int, default=int(d.autotune),
