@@ -56,7 +56,10 @@ def main():
     if args.quick:
         n_, N = 1024, 256
     else:
-        n_, N = 4096, 1024
+        # N=512 keeps the n=1 stress case (everything resident on ONE
+        # chip: slots + pbuf + output all full-size) inside the raised
+        # 112 MB vmem cap for BOTH kernels; real rings divide by n
+        n_, N = 4096, 512
     m = random_block_csr(n_, n_, block=128, block_density=0.15,
                          intra_density=0.3, seed=7, shuffle_rows=False)
     bell = bell_from_csr(m, None, block_row_size=128)

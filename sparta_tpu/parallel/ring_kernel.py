@@ -211,8 +211,15 @@ def spmm_ring_pallas(bell_dev: BellDevice, B: jax.Array, mesh: Mesh,
                 pltpu.SemaphoreType.REGULAR,             # credits
             ],
             interpret=interpret,
+            # the default 16 MB SCOPED vmem limit is what the compiler
+            # charges ANY-space outputs against — the r5 n=1 compile
+            # gate found the [nbr*bh, N] f32 output landing on that
+            # stack (ring_kernel_probe.err: "16.50M and limit 16.00M").
+            # v5e VMEM is 128 MB; raise the cap so resident-A + slots +
+            # output fit (the multi-chip regime divides all of them by n)
             compiler_params=pltpu.CompilerParams(
                 collective_id=7 if use_barrier else None,
+                vmem_limit_bytes=112 * 1024 * 1024,
                 has_side_effects=True),
         )(nb.astype(jnp.int32), ci.astype(jnp.int32), v, b_local)
 
@@ -375,8 +382,11 @@ def spmm_reduce_scatter_pallas(cols_idx, nb_row, vals, B, mesh: Mesh,
                 pltpu.SemaphoreType.REGULAR,
             ],
             interpret=interpret,
+            # see spmm_ring_pallas: ANY-space outputs charge the scoped
+            # vmem stack; raise the cap above the 16 MB default
             compiler_params=pltpu.CompilerParams(
                 collective_id=8 if use_barrier else None,
+                vmem_limit_bytes=112 * 1024 * 1024,
                 has_side_effects=True),
         )(nb.astype(jnp.int32), ci.astype(jnp.int32), v, b)
 
