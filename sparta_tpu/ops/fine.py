@@ -82,11 +82,17 @@ GATHER_POINTS = (
     (1024, 256, 1_048_576, 62.8),
     (1024, 512, 65_536, 27.7), (1024, 512, 262_144, 47.0),
     (1024, 512, 1_048_576, 59.8),
-    # int8 512-col slabs (512 B rows) — the dedup_int8 gather
+    # 512 B rows: int8 512-col slabs (the dedup_int8 gather) AND bf16
+    # 256-col slabs (the narrow-slab mitigation) — same regime, both
+    # measured (119-125 vs 127-132 GB/s at <= 64 MB)
     (512, 32, 262_144, 122.1), (512, 32, 1_048_576, 124.9),
     (512, 64, 262_144, 118.9), (512, 64, 1_048_576, 124.1),
     (512, 128, 262_144, 36.7), (512, 128, 1_048_576, 40.2),
     (512, 256, 262_144, 29.3), (512, 256, 1_048_576, 33.9),
+    (512, 32, 262_145, 129.9), (512, 32, 1_048_577, 131.9),  # bf16x256
+    (512, 64, 262_145, 127.3), (512, 64, 1_048_577, 131.4),  # bf16x256
+    # 256 B rows (bf16 128-col slabs, the K>128k mitigation)
+    (256, 64, 262_144, 110.0), (256, 64, 1_048_576, 115.2),
 )
 
 
