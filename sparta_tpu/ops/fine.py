@@ -219,6 +219,24 @@ def _take_rows(b: jax.Array, idx: jax.Array,
     return jnp.concatenate(pieces, axis=0)
 
 
+def _materialize_slab(bs: jax.Array, full_width: int) -> jax.Array:
+    """Force the slab CONTIGUOUS before it feeds a gather.
+
+    XLA fuses both a column slice and an elementwise quantization into
+    the consuming gather, so the gather's rows stay strided across the
+    FULL [K, N] operand's address range — the table-size rate cliff
+    (ops/fine.py GATHER_POINTS) then keys on N, not nt, and narrowing
+    the slab only multiplies slow gathers (the r5 rmat17 regression:
+    dedup 41 -> 54 ms, fine 68 -> 86, while the width-untouched fell
+    audited 0.99 model/measured).  optimization_barrier cuts the fusion:
+    the slab lands as a dense [K, nt] buffer and the gather runs at the
+    measured contiguous-table rate.  Skipped when the slab IS the whole
+    operand (nothing to materialize)."""
+    if bs.shape[1] == full_width and bs.dtype.itemsize >= 2:
+        return bs
+    return jax.lax.optimization_barrier(bs)
+
+
 # ---------------------------------------------------------------------------
 # mask-matmul combine (Pallas)
 # ---------------------------------------------------------------------------
@@ -417,11 +435,11 @@ def _fine_spmm(dev: FineDevice, B: jax.Array,
                            keepdims=True)
             scale = jnp.where(amax > 0, amax, 1.0) / 127.0
             bq = jnp.round(bs.astype(jnp.float32) / scale).astype(jnp.int8)
+            bq = _materialize_slab(bq, B.shape[1])
             g = _take_rows(bq, dev.cols, gchunk).astype(dev.vals.dtype) \
                 * scale.astype(dev.vals.dtype)
         else:
-            # fused gather+scale: the only random access, at the slab
-            # sweet spot
+            bs = _materialize_slab(bs, B.shape[1])
             g = _take_rows(bs, dev.cols, gchunk).astype(dev.vals.dtype)
         contribs.append(dev.vals[:, None] * g)
     # one wide-N combine: all slabs in a single grid pass
@@ -450,12 +468,16 @@ def fine_model_s(nnz: int, n_rows: int, N: int, tile_rows: int = 256,
     ntiles = -(-n_rows // tile_rows)
     slots = nnz + ntiles * 64  # alignment padding, ~align/2 per tile
     # gathers run per nt-column slab; _pick_slab narrows nt to keep the
-    # [k_rows, nt] table under the 64 MB rate cliff (same total bytes)
-    nt = _pick_slab(-(-N // 128) * 128, table_rows=k_rows or n_rows,
-                    itemsize=itemsize)
-    gbps = gather_bps(slots, (k_rows or n_rows) * nt * itemsize,
-                      rowbytes=nt * itemsize)
+    # [k_rows, nt] table under the 64 MB rate cliff (same total bytes),
+    # and _materialize_slab pays a contiguous copy of B (HBM round trip
+    # at the measured 655 GB/s) so the gather actually sees a small table
+    Np128 = -(-N // 128) * 128
+    k = k_rows or n_rows
+    nt = _pick_slab(Np128, table_rows=k, itemsize=itemsize)
+    gbps = gather_bps(slots, k * nt * itemsize, rowbytes=nt * itemsize)
     gather = slots * N * itemsize / gbps
+    if nt < Np128:
+        gather += k * N * itemsize * 2 / 655e9  # slab materialization
     combine = slots * N * itemsize / COMBINE_BPS \
         + ntiles * max(-(-(nnz // max(ntiles, 1)) // chunk), 1) * 3e-6
     return gather + combine
@@ -696,10 +718,12 @@ def _dedup_spmm(dev: DedupDevice, B: jax.Array,
                            keepdims=True)
             scale = jnp.where(amax > 0, amax, 1.0) / 127.0
             bq = jnp.round(bs.astype(jnp.float32) / scale).astype(jnp.int8)
-            bgs.append(_take_rows(bq, dev.gidx, gchunk))
+            bgs.append(_take_rows(_materialize_slab(bq, B.shape[1]),
+                                  dev.gidx, gchunk))
             scales.append(scale)
         else:
-            bgs.append(_take_rows(bs, dev.gidx, gchunk).astype(
+            bgs.append(_take_rows(_materialize_slab(bs, B.shape[1]),
+                                  dev.gidx, gchunk).astype(
                 dev.W.dtype))  # distinct rows
     scale = jnp.concatenate(scales, axis=1) if b_int8 else None
     # one wide-N combine call: all slabs in a single grid pass, chunk
@@ -766,11 +790,13 @@ def dedup_model_s(n_uniq: int, n_rows: int, N: int, tile_rows: int = 128,
     table-size-dependent gather rate (see gather_bps)."""
     ntiles = -(-n_rows // tile_rows)
     slots = n_uniq + ntiles * 64
-    nt = _pick_slab(-(-N // 128) * 128, table_rows=k_rows or n_rows,
-                    itemsize=itemsize)
-    gbps = gather_bps(slots, (k_rows or n_rows) * nt * itemsize,
-                      rowbytes=nt * itemsize)
+    Np128 = -(-N // 128) * 128
+    k = k_rows or n_rows
+    nt = _pick_slab(Np128, table_rows=k, itemsize=itemsize)
+    gbps = gather_bps(slots, k * nt * itemsize, rowbytes=nt * itemsize)
     gather = slots * N * itemsize / gbps
+    if nt < Np128:
+        gather += k * N * itemsize * 2 / 655e9  # slab materialization
     # gathered rows round-trip HBM (gather write + kernel read) and the
     # kernel streams W alongside; dots hide under the double-buffered DMA
     stream = slots * N * (itemsize + 2) / 819e9 \
