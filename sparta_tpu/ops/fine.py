@@ -220,18 +220,25 @@ def _take_rows(b: jax.Array, idx: jax.Array,
 
 
 def _materialize_slab(bs: jax.Array, full_width: int) -> jax.Array:
-    """Force the slab CONTIGUOUS before it feeds a gather.
+    """Force the slab CONTIGUOUS before it feeds a gather — a MEASURED
+    DEAD END, kept only for scripts/gather_slice_probe.py.
 
-    XLA fuses both a column slice and an elementwise quantization into
-    the consuming gather, so the gather's rows stay strided across the
-    FULL [K, N] operand's address range — the table-size rate cliff
-    (ops/fine.py GATHER_POINTS) then keys on N, not nt, and narrowing
-    the slab only multiplies slow gathers (the r5 rmat17 regression:
-    dedup 41 -> 54 ms, fine 68 -> 86, while the width-untouched fell
-    audited 0.99 model/measured).  optimization_barrier cuts the fusion:
-    the slab lands as a dense [K, nt] buffer and the gather runs at the
-    measured contiguous-table rate.  Skipped when the slab IS the whole
-    operand (nothing to materialize)."""
+    Post-mortem of the r5 narrow-slab experiment (the full numbers are
+    in BENCH_NOTES "narrow-slab negative result"): the gather microbench
+    (gather_probe2) says 64 MB contiguous tables gather 2x faster per
+    byte than 128 MB ones, so _pick_slab briefly narrowed slabs to stay
+    under the cliff.  In the REAL pipeline that regressed rmat17 dedup
+    41 -> 54 ms: first because XLA fuses the column slice into the
+    gather (rows stay strided across the full [K, N] operand — the
+    cliff keys on N, not nt), and — the deeper finding — because even
+    with this barrier forcing a genuinely contiguous [K, nt] buffer the
+    measured pipeline stayed at 53.7 ms, i.e. ISOLATED-table gather
+    rates do not transfer into the pipeline in either direction (the
+    strided-512 production gather actually runs at an effective ~100
+    GB/s on rmat17, FASTER than the 59.8 the contiguous microbench
+    predicts).  Production therefore keeps legacy 512 slabs; the cost
+    model keeps the (table, S) surface as a ~1.3x-pessimistic class
+    ranking, with measured autotune and plan_audit as the backstop."""
     if bs.shape[1] == full_width and bs.dtype.itemsize >= 2:
         return bs
     return jax.lax.optimization_barrier(bs)
@@ -421,8 +428,9 @@ class FineDevice:
 def _fine_spmm(dev: FineDevice, B: jax.Array,
                b_int8: bool = False,
                gchunk: int | None = None) -> jax.Array:
-    nt = _pick_slab(B.shape[1], table_rows=B.shape[0],
-                    itemsize=1 if b_int8 else B.dtype.itemsize)
+    # legacy 512 slabs: the narrow-slab + materialize mitigation is a
+    # MEASURED dead end (see _materialize_slab's docstring post-mortem)
+    nt = _pick_slab(B.shape[1])
     Mpad = dev.padded_rows
     contribs = []
     for s in range(B.shape[1] // nt):
@@ -435,11 +443,12 @@ def _fine_spmm(dev: FineDevice, B: jax.Array,
                            keepdims=True)
             scale = jnp.where(amax > 0, amax, 1.0) / 127.0
             bq = jnp.round(bs.astype(jnp.float32) / scale).astype(jnp.int8)
-            bq = _materialize_slab(bq, B.shape[1])
             g = _take_rows(bq, dev.cols, gchunk).astype(dev.vals.dtype) \
                 * scale.astype(dev.vals.dtype)
         else:
-            bs = _materialize_slab(bs, B.shape[1])
+            # fused gather+scale: the only random access, at the slab
+            # sweet spot (strided slice measured FASTER than a forced
+            # contiguous copy — _materialize_slab post-mortem)
             g = _take_rows(bs, dev.cols, gchunk).astype(dev.vals.dtype)
         contribs.append(dev.vals[:, None] * g)
     # one wide-N combine: all slabs in a single grid pass
@@ -467,17 +476,13 @@ def fine_model_s(nnz: int, n_rows: int, N: int, tile_rows: int = 256,
     the table-size-dependent gather rate; None assumes square."""
     ntiles = -(-n_rows // tile_rows)
     slots = nnz + ntiles * 64  # alignment padding, ~align/2 per tile
-    # gathers run per nt-column slab; _pick_slab narrows nt to keep the
-    # [k_rows, nt] table under the 64 MB rate cliff (same total bytes),
-    # and _materialize_slab pays a contiguous copy of B (HBM round trip
-    # at the measured 655 GB/s) so the gather actually sees a small table
-    Np128 = -(-N // 128) * 128
-    k = k_rows or n_rows
-    nt = _pick_slab(Np128, table_rows=k, itemsize=itemsize)
-    gbps = gather_bps(slots, k * nt * itemsize, rowbytes=nt * itemsize)
+    # gathers run per 512-column slab (legacy width — the narrow-slab
+    # mitigation is a measured dead end, _materialize_slab post-mortem);
+    # the (table, S) surface is a CLASS ranking, ~1.3x pessimistic on
+    # big strided tables (plan_audit quantifies it per matrix)
+    gbps = gather_bps(slots, (k_rows or n_rows) * 512 * itemsize,
+                      rowbytes=512 * itemsize)
     gather = slots * N * itemsize / gbps
-    if nt < Np128:
-        gather += k * N * itemsize * 2 / 655e9  # slab materialization
     combine = slots * N * itemsize / COMBINE_BPS \
         + ntiles * max(-(-(nnz // max(ntiles, 1)) // chunk), 1) * 3e-6
     return gather + combine
@@ -705,8 +710,8 @@ class DedupDevice:
 def _dedup_spmm(dev: DedupDevice, B: jax.Array,
                 b_int8: bool = False,
                 gchunk: int | None = None) -> jax.Array:
-    nt = _pick_slab(B.shape[1], table_rows=B.shape[0],
-                    itemsize=1 if b_int8 else B.dtype.itemsize)
+    # legacy 512 slabs (see _materialize_slab's post-mortem)
+    nt = _pick_slab(B.shape[1])
     Mpad = dev.padded_rows
     bgs, scales = [], []
     for s in range(B.shape[1] // nt):
@@ -718,12 +723,10 @@ def _dedup_spmm(dev: DedupDevice, B: jax.Array,
                            keepdims=True)
             scale = jnp.where(amax > 0, amax, 1.0) / 127.0
             bq = jnp.round(bs.astype(jnp.float32) / scale).astype(jnp.int8)
-            bgs.append(_take_rows(_materialize_slab(bq, B.shape[1]),
-                                  dev.gidx, gchunk))
+            bgs.append(_take_rows(bq, dev.gidx, gchunk))
             scales.append(scale)
         else:
-            bgs.append(_take_rows(_materialize_slab(bs, B.shape[1]),
-                                  dev.gidx, gchunk).astype(
+            bgs.append(_take_rows(bs, dev.gidx, gchunk).astype(
                 dev.W.dtype))  # distinct rows
     scale = jnp.concatenate(scales, axis=1) if b_int8 else None
     # one wide-N combine call: all slabs in a single grid pass, chunk
@@ -790,13 +793,10 @@ def dedup_model_s(n_uniq: int, n_rows: int, N: int, tile_rows: int = 128,
     table-size-dependent gather rate (see gather_bps)."""
     ntiles = -(-n_rows // tile_rows)
     slots = n_uniq + ntiles * 64
-    Np128 = -(-N // 128) * 128
-    k = k_rows or n_rows
-    nt = _pick_slab(Np128, table_rows=k, itemsize=itemsize)
-    gbps = gather_bps(slots, k * nt * itemsize, rowbytes=nt * itemsize)
+    # legacy 512-column slabs (see fine_model_s / _materialize_slab)
+    gbps = gather_bps(slots, (k_rows or n_rows) * 512 * itemsize,
+                      rowbytes=512 * itemsize)
     gather = slots * N * itemsize / gbps
-    if nt < Np128:
-        gather += k * N * itemsize * 2 / 655e9  # slab materialization
     # gathered rows round-trip HBM (gather write + kernel read) and the
     # kernel streams W alongside; dots hide under the double-buffered DMA
     stream = slots * N * (itemsize + 2) / 819e9 \

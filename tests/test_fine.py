@@ -149,9 +149,9 @@ def test_dedup_spmm_matches_dense():
 
 
 def test_pick_slab_table_cliff():
-    """Slab width narrows to keep the gather table under the 64 MB rate
-    cliff (r5 grid: 512 B rows at 64 MB run 119-125 GB/s where 1 KB rows
-    at 128 MB run 56-64 — same total bytes, ~2x faster)."""
+    """_pick_slab's table-aware narrowing (kept for probes — production
+    uses the legacy width after the measured dead end documented in
+    _materialize_slab) and the model's table-size dependence."""
     from sparta_tpu.ops.fine import _pick_slab
 
     assert _pick_slab(2048) == 512                      # legacy: no table
@@ -160,27 +160,18 @@ def test_pick_slab_table_cliff():
     assert _pick_slab(2048, table_rows=262_144) == 128
     assert _pick_slab(2048, table_rows=1 << 20) == 512  # nothing fits
     assert _pick_slab(2048, table_rows=131_072, itemsize=1) == 512  # int8
-    # the models price the SAME choice: large-K fine estimate must not
-    # assume the slow 1 KB-row big-table rate once the slab narrows
-    t_wide_assumption = fine_model_s(200_000, 65_536, 2048,
-                                     k_rows=65_536)
-    t_large_k = fine_model_s(200_000, 65_536, 2048, k_rows=131_072)
-    assert t_large_k < 3 * t_wide_assumption  # not the 3.7x cliff
+    # the model keys the gather rate on the (legacy 512-wide) table size
+    t_small = fine_model_s(200_000, 65_536, 2048, k_rows=65_536)
+    t_large = fine_model_s(200_000, 65_536, 2048, k_rows=131_072)
+    assert t_large > t_small
 
 
-def test_fine_dedup_narrow_slab_correct(monkeypatch):
-    """Force the narrow-slab path (4 x 128-col slabs) and check both
-    fine and dedup against the dense oracle."""
-    import sparta_tpu.ops.fine as F
-
-    monkeypatch.setattr(F, "SMALL_TABLE_BYTES", 1 << 10)  # force nt=128
-    # the slab width is picked inside the jitted cores from a module
-    # constant that is NOT part of the jit key — drop cached traces so
-    # the narrow path actually runs
-    F._fine_spmm.clear_cache()
-    F._dedup_spmm.clear_cache()
+def test_fine_dedup_narrow_slab_correct():
+    """Multi-slab narrow path (N=768 -> three 256-col slabs, the width
+    _pick_slab picks when 512 doesn't divide N): fine and dedup vs the
+    dense oracle."""
     m = rmat_csr(9, edge_factor=8, seed=6)
-    B = np.random.default_rng(7).standard_normal((m.cols, 512)).astype(
+    B = np.random.default_rng(7).standard_normal((m.cols, 768)).astype(
         np.float32)
     fdev = FineDevice.from_csr(m, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(fine_spmm(fdev, jnp.asarray(B))),
