@@ -145,6 +145,197 @@ def _bsa_pallas_hqd(q, k, v, bc_ell, live, *, nbr, block, causal, scale,
     )(bc_ell, live, q, k, v)
 
 
+# ---------------------------------------------------------------------------
+# v2 forward: chunked wide-dot flash (one grid step per (head, query tile))
+# ---------------------------------------------------------------------------
+#
+# The v1 grid above issues one (128, D)x(D, 128) tile pair per grid step —
+# measured issue-bound on v5e (results/attention_bench.json r5: 0.72 ms vs
+# XLA's 0.126 at T=2k).  v2 applies the bell_compact recipe: one grid step
+# per (head, query tile), the row's key/value tiles DMA'd into a contiguous
+# VMEM buffer in chunks of ``ch`` tiles, so each chunk is ONE wide QK^T dot
+# [block, ch*block] and ONE deep PV dot (contraction ch*block) instead of
+# ``ch`` tiny dots.  Chunk DMAs are double-buffered ACROSS grid steps (the
+# windowed masks have nch==1, so intra-step prefetch alone would serialize
+# DMA latency with compute).  Masking (dead ELL slots + intra-block causal)
+# runs under a per-(row, chunk) prefetched flag: interior rows skip the VPU
+# mask loop entirely.
+
+_CHUNK_MAX = 8  # tiles per chunk: caps s_buf at [128, 1024] f32 (512 KB)
+
+
+def _chunk_layout(wmax: int):
+    nch = -(-wmax // _CHUNK_MAX)
+    ch = -(-wmax // nch)
+    return nch, ch
+
+
+@functools.lru_cache(maxsize=64)
+def _mask_to_ell_chunked(mask: BlockMask):
+    """ELL padded to a chunk multiple, laid out so masking is (nearly)
+    free in the kernel:
+
+    * dead padding slots get an ADDITIVE per-column bias of -1e30
+      (``bias_cols`` [nbr, nch, ch*block] f32) folded into the score
+      scale-add — no per-tile ``where`` loop;
+    * under ``causal`` every row's diagonal block (bc == r) is swapped
+      into the LAST slot, so the intra-block triangular mask is a
+      static-position ``where`` (blocks with bc < r are fully visible
+      and need nothing; builders never emit bc > r when causal)."""
+    wmax, bc_ell, live = _mask_to_ell(mask)
+    nch, ch = _chunk_layout(wmax)
+    wpad = nch * ch
+    bc = np.zeros((mask.nbr, wpad), np.int32)
+    lv = np.zeros((mask.nbr, wpad), bool)
+    bc[:, :wmax] = bc_ell
+    lv[:, :wmax] = live
+    if mask.causal:
+        for r in range(mask.nbr):
+            hits = np.flatnonzero(lv[r] & (bc[r] == r))
+            if hits.size:  # swap the diagonal into the last slot
+                i = hits[0]
+                bc[r, i], bc[r, -1] = bc[r, -1], bc[r, i]
+                lv[r, i], lv[r, -1] = lv[r, -1], lv[r, i]
+    bias = np.where(lv, 0.0, _NEG_BIG).astype(np.float32)
+    bias_cols = np.repeat(bias, mask.block, axis=1).reshape(
+        mask.nbr, nch, ch * mask.block)
+    return nch, ch, bc, bias_cols
+
+
+def _flash2_kernel(bc_ref, q_ref, bias_ref, k_hbm, v_hbm, o_ref,
+                   *refs, nbr, nsteps, nch, ch, block, causal, scale,
+                   with_lse):
+    if with_lse:
+        lse_ref, kbuf, vbuf, ksem, vsem = refs
+    else:
+        (kbuf, vbuf, ksem, vsem) = refs
+        lse_ref = None
+    g = pl.program_id(0)
+    Dp = kbuf.shape[-1]
+
+    def dmas(gg, c):
+        """The 2*ch tile copies of chunk c of step gg (start and wait
+        recreate identical descriptors — the bell_compact contract)."""
+        hh = gg // nbr
+        rr = jax.lax.rem(gg, nbr)
+        slot = jax.lax.rem(gg * nch + c, 2)
+        out = []
+        for t in range(ch):
+            off = pl.multiple_of(bc_ref[rr, c * ch + t] * block, block)
+            dst = pl.ds(t * block, block)
+            out.append(pltpu.make_async_copy(
+                k_hbm.at[hh, pl.ds(off, block), :],
+                kbuf.at[slot, dst, :], ksem.at[slot, t]))
+            out.append(pltpu.make_async_copy(
+                v_hbm.at[hh, pl.ds(off, block), :],
+                vbuf.at[slot, dst, :], vsem.at[slot, t]))
+        return out
+
+    @pl.when(g == 0)
+    def _prime():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    q = q_ref[0]
+    if causal:
+        # triangular mask for the last slot (the diagonal block's fixed
+        # position): visible iff column outside the last tile OR
+        # row >= col within it.  Built once per grid step.
+        col = jax.lax.broadcasted_iota(jnp.int32, (block, ch * block), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (block, ch * block), 0)
+        tri_full = (col < (ch - 1) * block) | (row >= col - (ch - 1) * block)
+    m = jnp.full((block, 1), _NEG_BIG, jnp.float32)
+    l = jnp.zeros((block, 1), jnp.float32)
+    acc = jnp.zeros((block, Dp), jnp.float32)
+    for c in range(nch):  # static unroll over the row's chunks
+        if c + 1 < nch:
+            for cp in dmas(g, c + 1):
+                cp.start()
+        else:
+            @pl.when(g + 1 < nsteps)
+            def _next_step():
+                for cp in dmas(g + 1, 0):
+                    cp.start()
+        for cp in dmas(g, c):
+            cp.wait()
+        slot = jax.lax.rem(g * nch + c, 2)
+        s = jax.lax.dot_general(
+            q, kbuf[slot], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale \
+            + bias_ref[0, pl.ds(c, 1), :]
+        if causal and c == nch - 1:
+            s = jnp.where(tri_full, s, jnp.asarray(-jnp.inf, jnp.float32))
+        if nch == 1:  # no running rescale needed — the row is one chunk
+            m = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            acc = jax.lax.dot(p.astype(vbuf.dtype), vbuf[slot],
+                              preferred_element_type=jnp.float32)
+        else:
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc = acc * alpha + jax.lax.dot(
+                p.astype(vbuf.dtype), vbuf[slot],
+                preferred_element_type=jnp.float32)
+            m = m_new
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    if with_lse:
+        lse = m + jnp.log(jnp.maximum(l, 1e-30))
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nbr", "block", "causal", "scale", "nch",
+                              "ch", "interpret", "with_lse"))
+def _bsa_pallas2_hqd(q, k, v, bc_ell, bias_cols, *, nbr, block, causal,
+                     scale, nch, ch, interpret, with_lse=False):
+    """v2 forward: q [H, T_q, D], k/v [H, T_k, D] -> [H, T_q, D]
+    (+ lane-replicated lse when ``with_lse``)."""
+    H, Tq, D = q.shape
+    nsteps = H * nbr
+    kernel = functools.partial(
+        _flash2_kernel, nbr=nbr, nsteps=nsteps, nch=nch, ch=ch, block=block,
+        causal=causal, scale=scale, with_lse=with_lse)
+    qtile = pl.BlockSpec((1, block, D),
+                         lambda g, bc: (g // nbr, g % nbr, 0),
+                         memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, nch, ch * block),
+                             lambda g, bc: (g % nbr, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_specs = qtile
+    out_shape = jax.ShapeDtypeStruct((H, Tq, D), q.dtype)
+    if with_lse:
+        out_specs = (out_specs, pl.BlockSpec(
+            (1, block, 128), lambda g, bc: (g // nbr, g % nbr, 0),
+            memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((H, Tq, 128), jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nsteps,),
+            in_specs=[qtile, bias_spec,
+                      pl.BlockSpec(memory_space=pl.ANY),   # K stays in HBM
+                      pl.BlockSpec(memory_space=pl.ANY)],  # V stays in HBM
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((2, ch * block, D), k.dtype),       # K chunks
+                pltpu.VMEM((2, ch * block, D), v.dtype),       # V chunks
+                pltpu.SemaphoreType.DMA((2, ch)),
+                pltpu.SemaphoreType.DMA((2, ch)),
+            ],
+        ),
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(bc_ell, q, bias_cols, k, v)
+
+
 def _pad_flatten(q, k, v):
     """Leading dims flattened into the head grid axis; D padded to the
     128-lane grid (zero feature columns change neither scores nor the
@@ -162,16 +353,25 @@ def _pad_flatten(q, k, v):
 
 
 def _pallas_forward(q, k, v, mask: BlockMask, scale: float,
-                    interpret: bool = False, with_lse: bool = False):
+                    interpret: bool = False, with_lse: bool = False,
+                    version: int = 2):
     lead = q.shape[:-2]
     Tq, D = q.shape[-2:]
     qf, kf, vf = _pad_flatten(q, k, v)
-    wmax, bc_ell, live = _mask_to_ell(mask)
-    res = _bsa_pallas_hqd(
-        qf, kf, vf, jnp.asarray(bc_ell), jnp.asarray(live, jnp.int32),
-        nbr=mask.nbr, block=mask.block, causal=mask.causal, scale=scale,
-        wmax=wmax, interpret=interpret or jax.default_backend() == "cpu",
-        with_lse=with_lse)
+    interpret = interpret or jax.default_backend() == "cpu"
+    if version == 2:
+        nch, ch, bc_ell, bias_cols = _mask_to_ell_chunked(mask)
+        res = _bsa_pallas2_hqd(
+            qf, kf, vf, jnp.asarray(bc_ell), jnp.asarray(bias_cols),
+            nbr=mask.nbr, block=mask.block,
+            causal=mask.causal, scale=scale, nch=nch, ch=ch,
+            interpret=interpret, with_lse=with_lse)
+    else:
+        wmax, bc_ell, live = _mask_to_ell(mask)
+        res = _bsa_pallas_hqd(
+            qf, kf, vf, jnp.asarray(bc_ell), jnp.asarray(live, jnp.int32),
+            nbr=mask.nbr, block=mask.block, causal=mask.causal, scale=scale,
+            wmax=wmax, interpret=interpret, with_lse=with_lse)
     o, lse = res if with_lse else (res, None)
     o = o[..., :D].reshape(*lead, Tq, D)
     return (o, lse) if with_lse else o
