@@ -100,6 +100,40 @@ def main():
             log(f"T={T} v2 speedup vs xla: {row['v2_vs_xla']}x")
         if t_1 and t_2:
             row["v2_vs_v1"] = round(t_1 / t_2, 2)
+
+        # training step (fwd+bwd) with the v2 kernels end-to-end vs the
+        # r5 production hybrid (XLA fwd + v1 flash bwd)
+        from sparta_tpu.ops.attention_pallas import (
+            block_sparse_attention_hybrid,
+            block_sparse_attention_pallas,
+        )
+
+        def g(fn):
+            gr = jax.jit(jax.grad(
+                lambda x, kk, vv: fn(x, kk, vv).astype(jnp.float32).sum(),
+                argnums=(0, 1, 2)))
+            return lambda x: gr(x, k, v)[0]
+
+        # numeric gate on the full grads
+        gref = jax.grad(lambda x: block_sparse_attention(
+            x, k, v, mask, impl="xla").astype(jnp.float32).sum())(q)
+        gv2 = jax.grad(lambda x: block_sparse_attention_pallas(
+            x, k, v, mask, None, "pallas").astype(jnp.float32).sum())(q)
+        gerr = float(jnp.max(jnp.abs(gref.astype(jnp.float32)
+                                     - gv2.astype(jnp.float32))) /
+                     (jnp.max(jnp.abs(gref.astype(jnp.float32))) + 1e-9))
+        row["grad_v2_rel_err"] = gerr
+        log(f"T={T}: v2 grad rel_err {gerr:.2e}")
+
+        t_gh = cell("grad_hybrid", g(
+            lambda x, kk, vv: block_sparse_attention_hybrid(
+                x, kk, vv, mask)))
+        t_g2 = cell("grad_v2", g(
+            lambda x, kk, vv: block_sparse_attention_pallas(
+                x, kk, vv, mask, None, "pallas")))
+        if t_gh and t_g2:
+            row["grad_v2_vs_hybrid"] = round(t_gh / t_g2, 2)
+            log(f"T={T} grad v2 vs hybrid: {row['grad_v2_vs_hybrid']}x")
         out[f"T{T}"] = row
         write_result(args.out, out, quick=args.quick, hw_only=True)
 

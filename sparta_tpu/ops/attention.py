@@ -221,22 +221,24 @@ def block_sparse_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     mask's blocks — compute and memory scale with mask.n_blocks, not
     T_q*T_k.
 
-    impl: "xla" = batched-einsum path (the measured-fastest FORWARD on
-    v5e at every benched T — results/attention_bench.json, r5);
-    "hybrid" = XLA forward + flash Pallas backward (the measured-best
-    TRAINING config: the flash backward beats the XLA backward ~2x at
-    T>=4k); "pallas" = fully fused flash kernels (forward loses to XLA
-    on hardware — kept as the long-context/streaming option and the
-    kernel oracle); "auto" = hybrid on an accelerator backend, xla on
-    CPU (interpret-mode kernels are orders of magnitude slower than
-    real XLA on CPU)."""
+    impl: "pallas" = fully fused v2 flash kernels (chunked wide-dot
+    grid) — the measured-best TRAINING config at every benched T on
+    v5e AND the fastest forward at T>=4k (results/attn2_probe.json,
+    r5c: fwd 1.9x XLA at T=4k, 1.4x at 8k; train step 1.3-2.0x the
+    old hybrid); "xla" = batched-einsum path (still the fastest pure
+    forward at T<=2k — serving-latency users at short context should
+    pass it explicitly); "hybrid" = XLA forward + flash backward
+    (superseded by "pallas" on measurement, kept for comparison);
+    "auto" = pallas on an accelerator backend, xla on CPU
+    (interpret-mode kernels are orders of magnitude slower than real
+    XLA on CPU)."""
     if q.shape[-2] != mask.nbr * mask.block:
         raise ValueError(f"T_q={q.shape[-2]} != mask {mask.nbr}x{mask.block}")
     if k.shape[-2] != mask.nbc * mask.block:
         raise ValueError(f"T_k={k.shape[-2]} != mask {mask.nbc}x{mask.block}")
     scale = scale if scale is not None else 1.0 / np.sqrt(q.shape[-1])
     if impl == "auto":
-        impl = "xla" if jax.default_backend() == "cpu" else "hybrid"
+        impl = "xla" if jax.default_backend() == "cpu" else "pallas"
     if impl == "hybrid":
         from .attention_pallas import block_sparse_attention_hybrid
 

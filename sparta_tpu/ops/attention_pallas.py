@@ -14,6 +14,14 @@ BlockMask ELL machinery.  The reference has no attention story at all
 (SURVEY §0: SpMM only); this is the framework's extension of the same
 128-block sparsity to the attention pattern.
 
+Two generations live here.  The v1 kernels (one key tile per grid step)
+measured issue-bound on v5e; the v2 kernels (default) process a whole
+query row per grid step — key/value tiles stream into contiguous VMEM
+chunks (double-buffered ACROSS grid steps) so each chunk is one wide
+QK^T dot and one deep PV dot.  Hardware (results/attn2_probe.json):
+v2 forward 3.1-3.7x v1 and 1.4-2.0x the XLA forward at T>=4k; the v2
+train step beats every other configuration at every benched T.
+
 Differentiable via jax.custom_vjp.  The backward is fused too (flash
 backward): the forward additionally emits the per-row logsumexp (stored
 128-lane-replicated, the canonical TPU trick — a (block, 1) column can't
@@ -377,6 +385,268 @@ def _pallas_forward(q, k, v, mask: BlockMask, scale: float,
     return (o, lse) if with_lse else o
 
 
+# ---------------------------------------------------------------------------
+# v2 backward: chunked wide-dot flash dq / dkdv (same recipe as the forward)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _mask_to_ell_t_chunked(mask: BlockMask):
+    """Transposed ELL (per KEY tile, its query tiles) padded to a chunk
+    multiple; dead slots become an additive per-ROW bias of the tall
+    [ch*block, block] score tile; under ``causal`` the diagonal query
+    tile (brt == c) is swapped into the LAST slot (query tiles with
+    brt > c are fully visible; brt < c never appear when causal)."""
+    umax, br_ell, live = _mask_to_ell_t(mask)
+    nch, ch = _chunk_layout(umax)
+    upad = nch * ch
+    br = np.zeros((mask.nbc, upad), np.int32)
+    lv = np.zeros((mask.nbc, upad), bool)
+    br[:, :umax] = br_ell
+    lv[:, :umax] = live
+    if mask.causal:
+        for c in range(mask.nbc):
+            hits = np.flatnonzero(lv[c] & (br[c] == c))
+            if hits.size:
+                i = hits[0]
+                br[c, i], br[c, -1] = br[c, -1], br[c, i]
+                lv[c, i], lv[c, -1] = lv[c, -1], lv[c, i]
+    return nch, ch, br, lv.astype(np.int32)
+
+
+def _flash2_dq_kernel(bc_ref, q_ref, bias_ref, do_ref, o_ref, lse_ref,
+                      k_hbm, v_hbm, dq_ref, kbuf, vbuf, ksem, vsem,
+                      *, nbr, nsteps, nch, ch, block, causal, scale):
+    """dQ over the chunked row ELL — the forward's sweep with two extra
+    wide dots per chunk (dP = dO V_cat^T, dQ += dS K_cat)."""
+    g = pl.program_id(0)
+    Dp = kbuf.shape[-1]
+
+    def dmas(gg, c):
+        hh = gg // nbr
+        rr = jax.lax.rem(gg, nbr)
+        slot = jax.lax.rem(gg * nch + c, 2)
+        out = []
+        for t in range(ch):
+            off = pl.multiple_of(bc_ref[rr, c * ch + t] * block, block)
+            dst = pl.ds(t * block, block)
+            out.append(pltpu.make_async_copy(
+                k_hbm.at[hh, pl.ds(off, block), :],
+                kbuf.at[slot, dst, :], ksem.at[slot, t]))
+            out.append(pltpu.make_async_copy(
+                v_hbm.at[hh, pl.ds(off, block), :],
+                vbuf.at[slot, dst, :], vsem.at[slot, t]))
+        return out
+
+    @pl.when(g == 0)
+    def _prime():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    q = q_ref[0]
+    do = do_ref[0]
+    delta = jnp.sum(do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+                    axis=1, keepdims=True)
+    lse = lse_ref[0][:, :1]
+    if causal:
+        col = jax.lax.broadcasted_iota(jnp.int32, (block, ch * block), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (block, ch * block), 0)
+        tri_full = (col < (ch - 1) * block) | (row >= col - (ch - 1) * block)
+    acc = jnp.zeros((block, Dp), jnp.float32)
+    for c in range(nch):
+        if c + 1 < nch:
+            for cp in dmas(g, c + 1):
+                cp.start()
+        else:
+            @pl.when(g + 1 < nsteps)
+            def _next_step():
+                for cp in dmas(g + 1, 0):
+                    cp.start()
+        for cp in dmas(g, c):
+            cp.wait()
+        slot = jax.lax.rem(g * nch + c, 2)
+        s = jax.lax.dot_general(
+            q, kbuf[slot], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale \
+            + bias_ref[0, pl.ds(c, 1), :]
+        if causal and c == nch - 1:
+            s = jnp.where(tri_full, s, jnp.asarray(-jnp.inf, jnp.float32))
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, vbuf[slot], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        acc += jax.lax.dot(ds.astype(kbuf.dtype), kbuf[slot],
+                           preferred_element_type=jnp.float32)
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _flash2_dkdv_kernel(brt_ref, livet_ref, k_ref, v_ref, q_hbm, do_hbm,
+                        o_hbm, lse_hbm, dk_ref, dv_ref,
+                        qbuf, dobuf, obuf, lsebuf, sems,
+                        *, nbc, nsteps, nch, ch, block, causal, scale):
+    """dK/dV over the chunked TRANSPOSED ELL: one grid step per (head,
+    key tile); each chunk gathers ``ch`` query tiles (q, dO, O, lse) and
+    runs four tall/deep dots (S^T, dV += P^T dO, dP^T, dK += dS^T Q).
+    Dead slots die by a per-row bias column built in-kernel from the
+    prefetched live scalars ([ch*block, 1] vector ops — a lane-row bias
+    would need a lane->sublane relayout here)."""
+    g = pl.program_id(0)
+    cc = jax.lax.rem(g, nbc)
+    Dp = qbuf.shape[-1]
+
+    def dmas(gg, c):
+        hh = gg // nbc
+        cc = jax.lax.rem(gg, nbc)
+        slot = jax.lax.rem(gg * nch + c, 2)
+        out = []
+        for t in range(ch):
+            off = pl.multiple_of(brt_ref[cc, c * ch + t] * block, block)
+            src = pl.ds(off, block)
+            dst = pl.ds(t * block, block)
+            for buf, hbm, i in ((qbuf, q_hbm, 0), (dobuf, do_hbm, 1),
+                                (obuf, o_hbm, 2), (lsebuf, lse_hbm, 3)):
+                out.append(pltpu.make_async_copy(
+                    hbm.at[hh, src, :], buf.at[slot, dst, :],
+                    sems.at[i, slot, t]))
+        return out
+
+    @pl.when(g == 0)
+    def _prime():
+        for cp in dmas(0, 0):
+            cp.start()
+
+    k = k_ref[0]
+    v = v_ref[0]
+    if causal:
+        # transposed triangular: the diagonal query tile sits in the
+        # LAST slot (rows [(ch-1)*block:]); visible iff q row >= k col.
+        row = jax.lax.broadcasted_iota(jnp.int32, (ch * block, block), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (ch * block, block), 1)
+        tri_full = (row < (ch - 1) * block) | (row - (ch - 1) * block >= col)
+    tile_idx = jax.lax.broadcasted_iota(
+        jnp.int32, (ch * block, 1), 0) // block
+    dk = jnp.zeros((block, Dp), jnp.float32)
+    dv = jnp.zeros((block, Dp), jnp.float32)
+    for c in range(nch):
+        if c + 1 < nch:
+            for cp in dmas(g, c + 1):
+                cp.start()
+        else:
+            @pl.when(g + 1 < nsteps)
+            def _next_step():
+                for cp in dmas(g + 1, 0):
+                    cp.start()
+        for cp in dmas(g, c):
+            cp.wait()
+        slot = jax.lax.rem(g * nch + c, 2)
+        qc = qbuf[slot]
+        doc = dobuf[slot]
+        bias_col = jnp.zeros((ch * block, 1), jnp.float32)
+        for t in range(ch):
+            dead = livet_ref[cc, c * ch + t] == 0
+            bias_col = jnp.where((tile_idx == t) & dead,
+                                 jnp.float32(_NEG_BIG), bias_col)
+        s = jax.lax.dot_general(
+            qc, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias_col
+        if causal and c == nch - 1:
+            s = jnp.where(tri_full, s, jnp.asarray(-jnp.inf, jnp.float32))
+        p = jnp.exp(s - lsebuf[slot][:, :1])
+        # dV += P^T dO (contract the query-row axis)
+        dv += jax.lax.dot_general(
+            p.astype(doc.dtype), doc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        delta = jnp.sum(
+            doc.astype(jnp.float32) * obuf[slot].astype(jnp.float32),
+            axis=1, keepdims=True)
+        dp = jax.lax.dot_general(
+            doc, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk += jax.lax.dot_general(
+            ds.astype(qc.dtype), qc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nbr", "nbc", "block", "causal", "scale",
+                              "nch", "ch", "ncht", "cht", "interpret"))
+def _bsa_pallas2_bwd_hqd(q, k, v, do, o, lse, bc_ell, bias_cols, brt_ell,
+                         livet, *, nbr, nbc, block, causal, scale,
+                         nch, ch, ncht, cht, interpret):
+    H, Tq, D = q.shape
+    Tk = k.shape[1]
+    nsteps = H * nbr
+    qrow = pl.BlockSpec((1, block, D), lambda g, bc: (g // nbr, g % nbr, 0),
+                        memory_space=pltpu.VMEM)
+    lrow = pl.BlockSpec((1, block, 128),
+                        lambda g, bc: (g // nbr, g % nbr, 0),
+                        memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, nch, ch * block),
+                             lambda g, bc: (g % nbr, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_flash2_dq_kernel, nbr=nbr, nsteps=nsteps,
+                          nch=nch, ch=ch, block=block, causal=causal,
+                          scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nsteps,),
+            in_specs=[qrow, bias_spec, qrow, qrow, lrow,
+                      pl.BlockSpec(memory_space=pl.ANY),   # K
+                      pl.BlockSpec(memory_space=pl.ANY)],  # V
+            out_specs=qrow,
+            scratch_shapes=[
+                pltpu.VMEM((2, ch * block, D), k.dtype),
+                pltpu.VMEM((2, ch * block, D), v.dtype),
+                pltpu.SemaphoreType.DMA((2, ch)),
+                pltpu.SemaphoreType.DMA((2, ch)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((H, Tq, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(bc_ell, q, bias_cols, do, o, lse, k, v)
+
+    nsteps_t = H * nbc
+    kcol = pl.BlockSpec((1, block, D),
+                        lambda g, br, lv: (g // nbc, g % nbc, 0),
+                        memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash2_dkdv_kernel, nbc=nbc, nsteps=nsteps_t,
+                          nch=ncht, ch=cht, block=block, causal=causal,
+                          scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nsteps_t,),
+            in_specs=[kcol, kcol,
+                      pl.BlockSpec(memory_space=pl.ANY),   # Q
+                      pl.BlockSpec(memory_space=pl.ANY),   # dO
+                      pl.BlockSpec(memory_space=pl.ANY),   # O
+                      pl.BlockSpec(memory_space=pl.ANY)],  # lse
+            out_specs=(kcol, kcol),
+            scratch_shapes=[
+                pltpu.VMEM((2, cht * block, D), q.dtype),
+                pltpu.VMEM((2, cht * block, D), do.dtype),
+                pltpu.VMEM((2, cht * block, D), o.dtype),
+                pltpu.VMEM((2, cht * block, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((4, 2, cht)),
+            ],
+        ),
+        out_shape=(jax.ShapeDtypeStruct((H, Tk, D), k.dtype),
+                   jax.ShapeDtypeStruct((H, Tk, D), v.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(brt_ell, livet, k, v, q, do, o, lse)
+    return dq, dk, dv
+
+
 def _flash_dq_kernel(bc_ref, live_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
                      lse_ref, dq_ref, acc_s, delta_s,
                      *, wmax, block, causal, scale):
@@ -536,21 +806,33 @@ def _bsa_pallas_bwd_hqd(q, k, v, do, o, lse, bc_ell, live, brt_ell, livet,
 
 
 def _pallas_backward(q, k, v, do, o, lse, mask: BlockMask, scale: float,
-                     interpret: bool = False):
+                     interpret: bool = False, version: int = 2):
     lead = q.shape[:-2]
     Tq, D = q.shape[-2:]
     Tk = k.shape[-2]
     qf, kf, vf = _pad_flatten(q, k, v)
     dof, of, _ = _pad_flatten(do, o, o)
-    wmax, bc_ell, live = _mask_to_ell(mask)
-    umax, brt_ell, livet = _mask_to_ell_t(mask)
-    dq, dk, dv = _bsa_pallas_bwd_hqd(
-        qf, kf, vf, dof, of, lse,
-        jnp.asarray(bc_ell), jnp.asarray(live, jnp.int32),
-        jnp.asarray(brt_ell), jnp.asarray(livet, jnp.int32),
-        nbr=mask.nbr, nbc=mask.nbc, block=mask.block, causal=mask.causal,
-        scale=scale, wmax=wmax, umax=umax,
-        interpret=interpret or jax.default_backend() == "cpu")
+    interpret = interpret or jax.default_backend() == "cpu"
+    if version == 2:
+        nch, ch, bc_ell, bias_cols = _mask_to_ell_chunked(mask)
+        ncht, cht, brt_ell, livet = _mask_to_ell_t_chunked(mask)
+        dq, dk, dv = _bsa_pallas2_bwd_hqd(
+            qf, kf, vf, dof, of, lse,
+            jnp.asarray(bc_ell), jnp.asarray(bias_cols),
+            jnp.asarray(brt_ell), jnp.asarray(livet),
+            nbr=mask.nbr, nbc=mask.nbc, block=mask.block,
+            causal=mask.causal, scale=scale, nch=nch, ch=ch,
+            ncht=ncht, cht=cht, interpret=interpret)
+    else:
+        wmax, bc_ell, live = _mask_to_ell(mask)
+        umax, brt_ell, livet = _mask_to_ell_t(mask)
+        dq, dk, dv = _bsa_pallas_bwd_hqd(
+            qf, kf, vf, dof, of, lse,
+            jnp.asarray(bc_ell), jnp.asarray(live, jnp.int32),
+            jnp.asarray(brt_ell), jnp.asarray(livet, jnp.int32),
+            nbr=mask.nbr, nbc=mask.nbc, block=mask.block,
+            causal=mask.causal, scale=scale, wmax=wmax, umax=umax,
+            interpret=interpret)
     return (dq[..., :D].reshape(*lead, Tq, D),
             dk[..., :D].reshape(*lead, Tk, D),
             dv[..., :D].reshape(*lead, Tk, D))
@@ -615,12 +897,12 @@ def _xla_forward_lse(q, k, v, mask: BlockMask, scale: float):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def block_sparse_attention_hybrid(q, k, v, mask: BlockMask, scale=None):
-    """XLA forward + flash Pallas backward — the measured-best TRAINING
-    configuration on v5e (results/attention_bench.json, r5: the batched-
-    einsum forward beats the fused kernel at every T in {2k,4k,8k} —
-    0.13 vs 0.72 ms at T=2k — while the flash backward beats the XLA
-    backward ~2x at T>=4k).  Serving (no grad) should call impl="xla"
-    directly; this exists so jax.grad gets the best of both."""
+    """XLA forward + flash Pallas backward.  SUPERSEDED as the training
+    default by the v2 fully fused kernels (results/attn2_probe.json,
+    r5c: full-v2 train step beats this hybrid 1.27x at T=2k and 2.0x at
+    T=4k — the lse-producing XLA forward costs more than the v2 forward
+    gap).  Kept as a measured comparison point and for callers that want
+    the XLA forward's exact numerics with a fast backward."""
     if scale is None:
         scale = 1.0 / np.sqrt(q.shape[-1])
     from .attention import block_sparse_attention
