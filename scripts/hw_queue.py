@@ -56,6 +56,9 @@ JOBS = [
       "--autotune"], 10800, 2),
     ("campaign_suite", [sys.executable, "scripts/campaign.py"], 10800, 1),
     ("bench_headline_final", [sys.executable, "bench.py"], 2400, 2),
+    # r5c additions (run with --only; the r5-main jobs above are done)
+    ("attn2_probe", [sys.executable, "scripts/attn2_probe.py"], 2400, 2),
+    ("train_bench", [sys.executable, "scripts/train_bench.py"], 3600, 3),
 ]
 
 

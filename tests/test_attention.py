@@ -422,3 +422,84 @@ def test_block_mask_from_csr_causal_and_diagonal():
     assert diag <= set(zip(mask.br, mask.bc))
     dm = dense_mask_from_block_mask(mask)
     assert dm.diagonal().all()
+
+
+# ---------------------------------------------------------------------------
+# v2 chunked kernels: builder invariants + multi-chunk (nch > 1) paths
+# ---------------------------------------------------------------------------
+
+def test_chunk_layout():
+    from sparta_tpu.ops.attention_pallas import _CHUNK_MAX, _chunk_layout
+
+    for wmax in range(1, 40):
+        nch, ch = _chunk_layout(wmax)
+        assert ch <= _CHUNK_MAX
+        assert nch * ch >= wmax            # covers every slot
+        assert nch * ch - wmax < ch        # waste bounded by one chunk
+        if wmax <= _CHUNK_MAX:
+            assert nch == 1 and ch == wmax  # no padding when one chunk fits
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_mask_to_ell_chunked_invariants(causal):
+    """Every block appears exactly once; dead slots carry the -1e30 bias;
+    under causal the diagonal block sits in the LAST slot of every row
+    (the kernel's static-position triangular mask depends on it)."""
+    from sparta_tpu.ops.attention_pallas import _NEG_BIG, _mask_to_ell_chunked
+
+    mask = build_block_mask(1024, 1024, 128, window=3, causal=causal,
+                            global_blocks=2)
+    nch, ch, bc, bias_cols = _mask_to_ell_chunked(mask)
+    assert bc.shape == (mask.nbr, nch * ch)
+    assert bias_cols.shape == (mask.nbr, nch, ch * mask.block)
+    live = bias_cols.reshape(mask.nbr, nch * ch, mask.block)[:, :, 0] == 0
+    assert (bias_cols.reshape(mask.nbr, nch * ch, mask.block)
+            == np.where(live, np.float32(0.0),
+                        np.float32(_NEG_BIG))[:, :, None]).all()
+    for r in range(mask.nbr):
+        want = sorted(j for i, j in zip(mask.br, mask.bc) if i == r)
+        got = sorted(bc[r][live[r]].tolist())
+        assert got == want, f"row {r}"
+        if causal and r in want:
+            assert bc[r, -1] == r and live[r, -1], \
+                f"diagonal not in last slot for row {r}"
+
+
+def test_mask_to_ell_t_chunked_invariants():
+    from sparta_tpu.ops.attention_pallas import _mask_to_ell_t_chunked
+
+    mask = build_block_mask(1024, 1024, 128, window=3, causal=True,
+                            global_blocks=2)
+    nch, ch, br, livet = _mask_to_ell_t_chunked(mask)
+    assert br.shape == livet.shape == (mask.nbc, nch * ch)
+    for c in range(mask.nbc):
+        want = sorted(i for i, j in zip(mask.br, mask.bc) if j == c)
+        got = sorted(br[c][livet[c] > 0].tolist())
+        assert got == want, f"col {c}"
+        if c in want:  # diagonal query tile in the last slot
+            assert br[c, -1] == c and livet[c, -1] > 0
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_bsa_pallas_multichunk_forward_and_grad(causal):
+    """A dense pattern at 12 block rows forces wmax=12 -> nch=2 chunks:
+    exercises the cross-chunk online-softmax rescale, the causal diagonal
+    in the LAST chunk's last slot, and the chunked backward, none of
+    which single-chunk windowed masks touch."""
+    from sparta_tpu.ops.attention_pallas import _mask_to_ell_chunked
+
+    T, D = 12 * 128, 64
+    mask = build_block_mask(T, T, 128, window=None, causal=causal)
+    nch, ch, _, _ = _mask_to_ell_chunked(mask)
+    assert nch >= 2, "test shape must force multiple chunks"
+    rng = np.random.default_rng(21)
+    q, k, v = (jnp.asarray(x) for x in _qkv(rng, (2, T, D)))
+    got = np.asarray(block_sparse_attention_pallas(q, k, v, mask))
+    ref = np.asarray(block_sparse_attention(q, k, v, mask, impl="xla"))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    gp = _flash_grads(q, k, v, mask, "pallas")
+    gx = _xla_grads(q, k, v, mask)
+    for name, a, b in zip("qkv", gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"d{name}")
