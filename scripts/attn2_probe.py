@@ -95,6 +95,10 @@ def main():
             x, k, v, mask, sc, version=1))
         t_2 = cell("pallas_v2", lambda x: _pallas_forward(
             x, k, v, mask, sc, version=2))
+        for r in (2, 4):
+            if mask.nbr % r == 0:
+                cell(f"v2_rows{r}", lambda x, r=r: _pallas_forward(
+                    x, k, v, mask, sc, version=2, rows=r))
         if t_x and t_2:
             row["v2_vs_xla"] = round(t_x / t_2, 2)
             log(f"T={T} v2 speedup vs xla: {row['v2_vs_xla']}x")

@@ -212,7 +212,7 @@ def _mask_to_ell_chunked(mask: BlockMask):
 
 def _flash2_kernel(bc_ref, q_ref, bias_ref, k_hbm, v_hbm, o_ref,
                    *refs, nbr, nsteps, nch, ch, block, causal, scale,
-                   with_lse):
+                   with_lse, rows=1):
     if with_lse:
         lse_ref, kbuf, vbuf, ksem, vsem = refs
     else:
@@ -220,16 +220,19 @@ def _flash2_kernel(bc_ref, q_ref, bias_ref, k_hbm, v_hbm, o_ref,
         lse_ref = None
     g = pl.program_id(0)
     Dp = kbuf.shape[-1]
+    nsr = nbr // rows  # grid steps per head
 
-    def dmas(gg, c):
-        """The 2*ch tile copies of chunk c of step gg (start and wait
-        recreate identical descriptors — the bell_compact contract)."""
-        hh = gg // nbr
-        rr = jax.lax.rem(gg, nbr)
-        slot = jax.lax.rem(gg * nch + c, 2)
+    def dmas(gg, rr, c):
+        """The 2*ch tile copies of chunk c of row rr of step gg (start and
+        wait recreate identical descriptors — the bell_compact contract).
+        The double-buffer slot alternates on the GLOBAL chunk counter so
+        prefetch flows across rows and steps."""
+        hh = gg // nsr
+        grow = jax.lax.rem(gg, nsr) * rows + rr
+        slot = jax.lax.rem((gg * rows + rr) * nch + c, 2)
         out = []
         for t in range(ch):
-            off = pl.multiple_of(bc_ref[rr, c * ch + t] * block, block)
+            off = pl.multiple_of(bc_ref[grow, c * ch + t] * block, block)
             dst = pl.ds(t * block, block)
             out.append(pltpu.make_async_copy(
                 k_hbm.at[hh, pl.ds(off, block), :],
@@ -241,85 +244,101 @@ def _flash2_kernel(bc_ref, q_ref, bias_ref, k_hbm, v_hbm, o_ref,
 
     @pl.when(g == 0)
     def _prime():
-        for cp in dmas(0, 0):
+        for cp in dmas(0, 0, 0):
             cp.start()
 
-    q = q_ref[0]
     if causal:
         # triangular mask for the last slot (the diagonal block's fixed
         # position): visible iff column outside the last tile OR
-        # row >= col within it.  Built once per grid step.
+        # row >= col within it.  Built once per grid step (the diagonal
+        # is pinned to the last slot of EVERY row, so it's row-invariant).
         col = jax.lax.broadcasted_iota(jnp.int32, (block, ch * block), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (block, ch * block), 0)
         tri_full = (col < (ch - 1) * block) | (row >= col - (ch - 1) * block)
-    m = jnp.full((block, 1), _NEG_BIG, jnp.float32)
-    l = jnp.zeros((block, 1), jnp.float32)
-    acc = jnp.zeros((block, Dp), jnp.float32)
-    for c in range(nch):  # static unroll over the row's chunks
-        if c + 1 < nch:
-            for cp in dmas(g, c + 1):
-                cp.start()
-        else:
-            @pl.when(g + 1 < nsteps)
-            def _next_step():
-                for cp in dmas(g + 1, 0):
+    for rr in range(rows):  # static unroll over the step's query tiles
+        q = q_ref[0, rr * block:(rr + 1) * block, :]
+        m = jnp.full((block, 1), _NEG_BIG, jnp.float32)
+        l = jnp.zeros((block, 1), jnp.float32)
+        acc = jnp.zeros((block, Dp), jnp.float32)
+        for c in range(nch):  # static unroll over the row's chunks
+            if c + 1 < nch:
+                for cp in dmas(g, rr, c + 1):
                     cp.start()
-        for cp in dmas(g, c):
-            cp.wait()
-        slot = jax.lax.rem(g * nch + c, 2)
-        s = jax.lax.dot_general(
-            q, kbuf[slot], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale \
-            + bias_ref[0, pl.ds(c, 1), :]
-        if causal and c == nch - 1:
-            s = jnp.where(tri_full, s, jnp.asarray(-jnp.inf, jnp.float32))
-        if nch == 1:  # no running rescale needed — the row is one chunk
-            m = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-            p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=1, keepdims=True)
-            acc = jax.lax.dot(p.astype(vbuf.dtype), vbuf[slot],
-                              preferred_element_type=jnp.float32)
-        else:
-            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-            alpha = jnp.exp(m - m_new)
-            p = jnp.exp(s - m_new)
-            l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-            acc = acc * alpha + jax.lax.dot(
-                p.astype(vbuf.dtype), vbuf[slot],
-                preferred_element_type=jnp.float32)
-            m = m_new
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-    if with_lse:
-        lse = m + jnp.log(jnp.maximum(l, 1e-30))
-        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+            elif rr + 1 < rows:
+                for cp in dmas(g, rr + 1, 0):
+                    cp.start()
+            else:
+                @pl.when(g + 1 < nsteps)
+                def _next_step():
+                    for cp in dmas(g + 1, 0, 0):
+                        cp.start()
+            for cp in dmas(g, rr, c):
+                cp.wait()
+            slot = jax.lax.rem((g * rows + rr) * nch + c, 2)
+            s = jax.lax.dot_general(
+                q, kbuf[slot], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale \
+                + bias_ref[0, rr, pl.ds(c, 1), :]
+            if causal and c == nch - 1:
+                s = jnp.where(tri_full, s,
+                              jnp.asarray(-jnp.inf, jnp.float32))
+            if nch == 1:  # no running rescale needed — one chunk per row
+                m = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+                p = jnp.exp(s - m)
+                l = jnp.sum(p, axis=1, keepdims=True)
+                acc = jax.lax.dot(p.astype(vbuf.dtype), vbuf[slot],
+                                  preferred_element_type=jnp.float32)
+            else:
+                m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+                alpha = jnp.exp(m - m_new)
+                p = jnp.exp(s - m_new)
+                l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+                acc = acc * alpha + jax.lax.dot(
+                    p.astype(vbuf.dtype), vbuf[slot],
+                    preferred_element_type=jnp.float32)
+                m = m_new
+        o_ref[0, rr * block:(rr + 1) * block, :] = (
+            acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        if with_lse:
+            lse = m + jnp.log(jnp.maximum(l, 1e-30))
+            lse_ref[0, rr * block:(rr + 1) * block, :] = jnp.broadcast_to(
+                lse, (block, lse_ref.shape[-1]))
 
 
 @functools.partial(
     jax.jit, static_argnames=("nbr", "block", "causal", "scale", "nch",
-                              "ch", "interpret", "with_lse"))
+                              "ch", "interpret", "with_lse", "rows"))
 def _bsa_pallas2_hqd(q, k, v, bc_ell, bias_cols, *, nbr, block, causal,
-                     scale, nch, ch, interpret, with_lse=False):
+                     scale, nch, ch, interpret, with_lse=False, rows=1):
     """v2 forward: q [H, T_q, D], k/v [H, T_k, D] -> [H, T_q, D]
-    (+ lane-replicated lse when ``with_lse``)."""
+    (+ lane-replicated lse when ``with_lse``).  ``rows`` query tiles are
+    processed per grid step (must divide nbr) — amortizes the fixed
+    per-step cost at small T."""
     H, Tq, D = q.shape
-    nsteps = H * nbr
+    if nbr % rows:
+        raise ValueError(f"rows={rows} must divide nbr={nbr}")
+    nsr = nbr // rows
+    nsteps = H * nsr
     kernel = functools.partial(
         _flash2_kernel, nbr=nbr, nsteps=nsteps, nch=nch, ch=ch, block=block,
-        causal=causal, scale=scale, with_lse=with_lse)
-    qtile = pl.BlockSpec((1, block, D),
-                         lambda g, bc: (g // nbr, g % nbr, 0),
+        causal=causal, scale=scale, with_lse=with_lse, rows=rows)
+    qtile = pl.BlockSpec((1, rows * block, D),
+                         lambda g, bc: (g // nsr, g % nsr, 0),
                          memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((1, nch, ch * block),
-                             lambda g, bc: (g % nbr, 0, 0),
+    bias_spec = pl.BlockSpec((1, rows, nch, ch * block),
+                             lambda g, bc: (0, g % nsr, 0, 0),
                              memory_space=pltpu.VMEM)
     out_specs = qtile
     out_shape = jax.ShapeDtypeStruct((H, Tq, D), q.dtype)
     if with_lse:
         out_specs = (out_specs, pl.BlockSpec(
-            (1, block, 128), lambda g, bc: (g // nbr, g % nbr, 0),
+            (1, rows * block, 128), lambda g, bc: (g // nsr, g % nsr, 0),
             memory_space=pltpu.VMEM))
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((H, Tq, 128), jnp.float32))
+    # bias viewed as [1, nbr//rows * rows, nch, W] so one (1, rows, ...)
+    # block per step covers the step's row group
+    bias4 = bias_cols.reshape(1, nbr, *bias_cols.shape[1:])
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -341,7 +360,7 @@ def _bsa_pallas2_hqd(q, k, v, bc_ell, bias_cols, *, nbr, block, causal,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(bc_ell, q, bias_cols, k, v)
+    )(bc_ell, q, bias4, k, v)
 
 
 def _pad_flatten(q, k, v):
@@ -362,7 +381,7 @@ def _pad_flatten(q, k, v):
 
 def _pallas_forward(q, k, v, mask: BlockMask, scale: float,
                     interpret: bool = False, with_lse: bool = False,
-                    version: int = 2):
+                    version: int = 2, rows: int = 1):
     lead = q.shape[:-2]
     Tq, D = q.shape[-2:]
     qf, kf, vf = _pad_flatten(q, k, v)
@@ -373,7 +392,7 @@ def _pallas_forward(q, k, v, mask: BlockMask, scale: float,
             qf, kf, vf, jnp.asarray(bc_ell), jnp.asarray(bias_cols),
             nbr=mask.nbr, block=mask.block,
             causal=mask.causal, scale=scale, nch=nch, ch=ch,
-            interpret=interpret, with_lse=with_lse)
+            interpret=interpret, with_lse=with_lse, rows=rows)
     else:
         wmax, bc_ell, live = _mask_to_ell(mask)
         res = _bsa_pallas_hqd(

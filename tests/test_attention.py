@@ -503,3 +503,24 @@ def test_bsa_pallas_multichunk_forward_and_grad(causal):
     for name, a, b in zip("qkv", gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4, err_msg=f"d{name}")
+
+
+@pytest.mark.parametrize("rows", [2, 4])
+def test_bsa_pallas_v2_rows_per_step(rows):
+    """rows>1 processes several query tiles per grid step (fixed-cost
+    amortization knob); must be bit-compatible with rows=1."""
+    from sparta_tpu.ops.attention_pallas import _pallas_forward
+
+    T, D = 1024, 64
+    mask = build_block_mask(T, T, 128, window=2, causal=True,
+                            global_blocks=1)
+    rng = np.random.default_rng(33)
+    q, k, v = (jnp.asarray(x) for x in _qkv(rng, (2, T, D)))
+    sc = 1.0 / np.sqrt(D)
+    base, lse1 = _pallas_forward(q, k, v, mask, sc, with_lse=True)
+    got, lse_r = _pallas_forward(q, k, v, mask, sc, with_lse=True,
+                                 rows=rows)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(lse_r), np.asarray(lse1),
+                               rtol=0, atol=0)
